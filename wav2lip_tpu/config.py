@@ -1,0 +1,145 @@
+"""Configuration tree for wav2lip_tpu.
+
+The reference keeps a single mutable ``HParams`` singleton (hparams.py:32-95)
+that is mutated mid-training by the sync-loss curriculum trigger
+(wav2lip_train.py:254). Here the configuration is a tree of frozen dataclasses;
+anything that changes during a run (e.g. the curriculum weight) is *runtime
+state*, threaded through jitted step functions as an argument, never global
+mutable config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Tuple
+
+
+@dataclass(frozen=True)
+class AudioConfig:
+    """Mel-spectrogram frontend constants (reference: hparams.py:33-73).
+
+    With the defaults, mel frames advance at sample_rate/hop_size = 80 frames
+    per second, i.e. exactly 3.2 mel frames per video frame at 25 fps — the
+    alignment every window computation in the framework relies on.
+    """
+
+    num_mels: int = 80
+    n_fft: int = 800
+    hop_size: int = 200
+    win_size: int = 800
+    sample_rate: int = 16000
+    preemphasize: bool = True
+    preemphasis: float = 0.97
+    min_level_db: float = -100.0
+    ref_level_db: float = 20.0
+    fmin: float = 55.0
+    fmax: float = 7600.0
+    signal_normalization: bool = True
+    allow_clipping_in_normalization: bool = True
+    symmetric_mels: bool = True
+    max_abs_value: float = 4.0
+    # Audio rescaling prior to preprocessing (reference: hparams.py:35-36).
+    rescale: bool = True
+    rescaling_max: float = 0.9
+
+    @property
+    def mel_frames_per_second(self) -> float:
+        return self.sample_rate / self.hop_size
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Shapes shared by all three nets (reference: hparams.py:76-77 and the
+    constants duplicated across the train scripts: syncnet_T=5,
+    syncnet_mel_step_size=16 — wav2lip_train.py:37-38)."""
+
+    img_size: int = 96
+    fps: float = 25.0
+    syncnet_T: int = 5
+    mel_step_size: int = 16
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training schedule constants (reference: hparams.py:79-94)."""
+
+    batch_size: int = 16
+    initial_learning_rate: float = 1e-4
+    num_workers: int = 16
+    checkpoint_interval: int = 3000
+    eval_interval: int = 3000
+    save_optimizer_state: bool = True
+
+    # Adaptive curriculum: syncnet_wt starts at 0 and flips to 0.01 (plain) or
+    # 0.03 (GAN) once eval sync loss dips below sync_loss_curriculum_threshold
+    # (reference: wav2lip_train.py:253-254, hq_wav2lip_train.py:289-290).
+    syncnet_wt: float = 0.0
+    syncnet_wt_after_trigger: float = 0.01
+    sync_loss_curriculum_threshold: float = 0.75
+
+    syncnet_batch_size: int = 64
+    syncnet_lr: float = 1e-4
+    syncnet_eval_interval: int = 10000
+    syncnet_checkpoint_interval: int = 10000
+
+    disc_wt: float = 0.07
+    disc_initial_learning_rate: float = 1e-4
+    # GAN variant uses Adam betas (0.5, 0.999) for BOTH optimizers
+    # (reference: hq_wav2lip_train.py:421-424); the plain trainer uses torch
+    # defaults (0.9, 0.999).
+    gan_adam_b1: float = 0.5
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+
+    eval_steps_syncnet: int = 1400
+    eval_steps_wav2lip: int = 700
+    eval_steps_gan: int = 300
+
+
+@dataclass(frozen=True)
+class InferConfig:
+    """Inference pipeline knobs (reference: inference.py:11-54 argparse)."""
+
+    static: bool = False
+    fps: float = 25.0
+    pads: Tuple[int, int, int, int] = (0, 10, 0, 0)  # top, bottom, left, right
+    face_det_batch_size: int = 16
+    wav2lip_batch_size: int = 128
+    resize_factor: int = 1
+    crop: Tuple[int, int, int, int] = (0, -1, 0, -1)  # top, bottom, left, right
+    box: Tuple[int, int, int, int] = (-1, -1, -1, -1)  # top, bottom, left, right
+    rotate: bool = False
+    nosmooth: bool = False
+    smooth_window: int = 5  # bbox temporal smoothing T (inference.py:102)
+    img_size: int = 96
+
+
+@dataclass(frozen=True)
+class DetectConfig:
+    """S3FD postprocessing constants (reference: sfd_detector.py:41-47,
+    detect.py:58-94)."""
+
+    candidate_threshold: float = 0.05  # per-anchor gather gate
+    nms_threshold: float = 0.3
+    keep_threshold: float = 0.5
+    variances: Tuple[float, float] = (0.1, 0.2)
+    max_candidates: int = 256  # fixed top-K replacing the dynamic gather
+    max_detections: int = 16   # boxes returned per image after NMS
+    mean_bgr: Tuple[float, float, float] = (104.0, 117.0, 123.0)
+
+
+@dataclass(frozen=True)
+class Config:
+    audio: AudioConfig = dataclasses.field(default_factory=AudioConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    infer: InferConfig = dataclasses.field(default_factory=InferConfig)
+    detect: DetectConfig = dataclasses.field(default_factory=DetectConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = Config()
+DEFAULT_AUDIO = DEFAULT_CONFIG.audio
