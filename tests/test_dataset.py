@@ -1,0 +1,112 @@
+"""Training input pipeline tests over synthetic preprocessed data."""
+
+import os
+from os.path import join
+
+import numpy as np
+import pytest
+
+from fixtures import make_preprocessed_dataset, write_filelists
+from wav2lip_tpu.data.dataset import (
+    PrefetchLoader,
+    WindowSampler,
+    get_video_list,
+)
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("prep"))
+    dirs = make_preprocessed_dataset(root, num_videos=3, frames_per_video=40)
+    return root, dirs
+
+
+class TestFilelists:
+    def test_get_video_list(self, tmp_path, dataset):
+        root, dirs = dataset
+        fl = str(tmp_path / "filelists")
+        write_filelists(fl, ["spk0/vid0", "spk0/vid1 extra_field"])
+        vids = get_video_list(root, "train", fl)
+        assert vids == [join(root, "spk0/vid0"), join(root, "spk0/vid1")]
+
+
+class TestSyncnetSampling:
+    def test_sample_shapes_and_range(self, dataset):
+        root, dirs = dataset
+        s = WindowSampler(dirs, seed=0)
+        faces, mel, y = s.sample_syncnet()
+        assert faces.shape == (48, 96, 15)
+        assert mel.shape == (80, 16)
+        assert y.shape == (1,)
+        assert 0.0 <= faces.min() and faces.max() <= 1.0
+        assert y[0] in (0.0, 1.0)
+
+    def test_labels_both_classes(self, dataset):
+        root, dirs = dataset
+        s = WindowSampler(dirs, seed=1)
+        ys = {float(s.sample_syncnet()[2][0]) for _ in range(20)}
+        assert ys == {0.0, 1.0}
+
+    def test_deterministic_given_seed(self, dataset):
+        root, dirs = dataset
+        a = WindowSampler(dirs, seed=7).sample_syncnet()
+        b = WindowSampler(dirs, seed=7).sample_syncnet()
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+
+
+class TestWav2LipSampling:
+    def test_sample_contract(self, dataset):
+        root, dirs = dataset
+        s = WindowSampler(dirs, seed=2)
+        b = s.sample_wav2lip()
+        assert b["x"].shape == (5, 96, 96, 6)
+        assert b["indiv_mels"].shape == (5, 80, 16, 1)
+        assert b["mel"].shape == (80, 16)
+        assert b["gt"].shape == (5, 96, 96, 3)
+        # masked channels: lower half of first 3 channels must be zero
+        assert np.all(b["x"][:, 48:, :, :3] == 0.0)
+        # upper half of masked == upper half of gt
+        np.testing.assert_array_equal(b["x"][:, :48, :, :3], b["gt"][:, :48])
+
+    def test_short_video_rejected(self, tmp_path):
+        # a video with <= 3*T frames must never be sampled
+        root = str(tmp_path)
+        dirs = make_preprocessed_dataset(root, num_videos=2,
+                                         frames_per_video=40)
+        import cv2
+        from fixtures import synth_face_frame, make_wav
+
+        short = join(root, "spk0", "short")
+        os.makedirs(short)
+        for i in range(10):
+            cv2.imwrite(join(short, f"{i}.jpg"), synth_face_frame(64, 64, i))
+        make_wav(join(short, "audio.wav"), seconds=0.5)
+        s = WindowSampler(dirs + [short], seed=3)
+        for _ in range(10):
+            s.sample_wav2lip()  # must not hang or crash
+
+
+class TestPrefetchLoader:
+    def test_batches(self, dataset):
+        root, dirs = dataset
+        s = WindowSampler(dirs, seed=4)
+        loader = PrefetchLoader(s.sample_syncnet, batch_size=4, num_workers=2)
+        try:
+            faces, mel, y = next(iter(loader))
+            assert faces.shape == (4, 48, 96, 15)
+            assert mel.shape == (4, 80, 16)
+            assert y.shape == (4, 1)
+        finally:
+            loader.close()
+
+    def test_dict_batches(self, dataset):
+        root, dirs = dataset
+        s = WindowSampler(dirs, seed=5)
+        loader = PrefetchLoader(s.sample_wav2lip, batch_size=2, num_workers=1)
+        try:
+            b = next(iter(loader))
+            assert b["x"].shape == (2, 5, 96, 96, 6)
+            assert b["gt"].shape == (2, 5, 96, 96, 3)
+        finally:
+            loader.close()

@@ -1,0 +1,134 @@
+"""Detection ops tests: jittable NMS vs. a naive transliteration of the
+reference's greedy NMS (bbox.py:44-64), anchor decode vs. hand-computed SSD
+decoding, and the full pipeline contract."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wav2lip_tpu.ops.nms import batched_nms, pairwise_iou
+from wav2lip_tpu.ops.anchors import decode_scale, decode_all_scales
+
+
+def naive_nms(dets: np.ndarray, thresh: float):
+    """Reference greedy NMS semantics, re-derived for testing."""
+    if len(dets) == 0:
+        return []
+    x1, y1, x2, y2, scores = dets.T
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+    order = scores.argsort()[::-1]
+    keep = []
+    while order.size > 0:
+        i = order[0]
+        keep.append(i)
+        xx1 = np.maximum(x1[i], x1[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        xx2 = np.minimum(x2[i], x2[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        w = np.maximum(0.0, xx2 - xx1 + 1)
+        h = np.maximum(0.0, yy2 - yy1 + 1)
+        ovr = w * h / (areas[i] + areas[order[1:]] - w * h)
+        order = order[np.where(ovr <= thresh)[0] + 1]
+    return keep
+
+
+def random_dets(n, rng, size=200.0):
+    x1 = rng.uniform(0, size * 0.8, n)
+    y1 = rng.uniform(0, size * 0.8, n)
+    w = rng.uniform(5, size * 0.3, n)
+    h = rng.uniform(5, size * 0.3, n)
+    scores = rng.uniform(0.01, 1.0, n)
+    return np.stack([x1, y1, x1 + w, y1 + h, scores], axis=1).astype(np.float32)
+
+
+class TestNMS:
+    @pytest.mark.parametrize("n", [1, 5, 32, 100])
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_reference_greedy(self, n, seed):
+        rng = np.random.default_rng(seed)
+        dets = random_dets(n, rng)
+        ref_keep = naive_nms(dets, 0.3)
+
+        K = 128
+        boxes = np.zeros((1, K, 4), np.float32)
+        scores = np.zeros((1, K), np.float32)
+        valid = np.zeros((1, K), bool)
+        boxes[0, :n] = dets[:, :4]
+        scores[0, :n] = dets[:, 4]
+        valid[0, :n] = True
+        out_boxes, out_scores, num = batched_nms(
+            boxes, scores, valid, iou_threshold=0.3, max_out=64
+        )
+        got_n = int(num[0])
+        assert got_n == min(len(ref_keep), 64)
+        ref_sorted = dets[ref_keep]  # already score-descending
+        np.testing.assert_allclose(
+            np.asarray(out_boxes)[0, :got_n], ref_sorted[:got_n, :4], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_scores)[0, :got_n], ref_sorted[:got_n, 4], rtol=1e-5
+        )
+
+    def test_invalid_entries_ignored(self):
+        boxes = np.zeros((1, 8, 4), np.float32)
+        boxes[0, 0] = [0, 0, 10, 10]
+        scores = np.full((1, 8), 0.9, np.float32)
+        valid = np.zeros((1, 8), bool)
+        valid[0, 0] = True
+        _, out_scores, num = batched_nms(boxes, scores, valid)
+        assert int(num[0]) == 1
+        assert float(out_scores[0, 0]) == pytest.approx(0.9)
+
+    def test_iou_plus_one_convention(self):
+        # identical 10x10 boxes: IoU exactly 1; shifted beyond: 0
+        b = jnp.asarray([[0.0, 0.0, 9.0, 9.0], [20.0, 20.0, 29.0, 29.0]])
+        iou = np.asarray(pairwise_iou(b))
+        assert iou[0, 0] == pytest.approx(1.0)
+        assert iou[0, 1] == 0.0
+
+
+class TestAnchorDecode:
+    def test_identity_decode(self):
+        # zero loc regressions → box centered on the anchor with size 4*stride
+        stride = 4
+        H = W = 4
+        cls = np.zeros((1, H, W, 2), np.float32)  # softmax → 0.5
+        loc = np.zeros((1, H, W, 4), np.float32)
+        scores, boxes = decode_scale(jnp.asarray(cls), jnp.asarray(loc), stride)
+        scores, boxes = np.asarray(scores), np.asarray(boxes)
+        assert scores.shape == (1, 16) and boxes.shape == (1, 16, 4)
+        np.testing.assert_allclose(scores, 0.5)
+        # anchor (0,0): center (2,2), wh 16 → [-6,-6,10,10]
+        np.testing.assert_allclose(boxes[0, 0], [-6, -6, 10, 10], atol=1e-5)
+        # anchor (h=1, w=2): center x=2+2*4=10, y=2+4=6
+        idx = 1 * W + 2
+        np.testing.assert_allclose(boxes[0, idx], [2, -2, 18, 14], atol=1e-5)
+
+    def test_ssd_variance_decode(self):
+        stride = 8
+        cls = np.zeros((1, 1, 1, 2), np.float32)
+        cls[..., 1] = 3.0  # face logit
+        loc = np.asarray([[[[0.5, -0.25, np.log(2.0) / 0.2, 0.0]]]], np.float32)
+        scores, boxes = decode_scale(jnp.asarray(cls), jnp.asarray(loc), stride)
+        # center (4,4); cx = 4 + 0.5*0.1*32 = 5.6; cy = 4 - 0.25*0.1*32 = 3.2
+        # w = 32 * exp(log(2)) = 64, h = 32
+        np.testing.assert_allclose(
+            np.asarray(boxes)[0, 0],
+            [5.6 - 32, 3.2 - 16, 5.6 + 32, 3.2 + 16],
+            rtol=1e-5,
+        )
+        assert float(scores[0, 0]) == pytest.approx(
+            1 / (1 + np.exp(-3.0)), rel=1e-5
+        )
+
+    def test_all_scales_concat(self):
+        heads = []
+        sizes = [(32, 32), (16, 16), (8, 8), (8, 8), (4, 4), (2, 2)]
+        for h, w in sizes:
+            heads.append(
+                (jnp.zeros((2, h, w, 2)), jnp.zeros((2, h, w, 4)))
+            )
+        scores, boxes = decode_all_scales(heads)
+        total = sum(h * w for h, w in sizes)
+        assert scores.shape == (2, total)
+        assert boxes.shape == (2, total, 4)

@@ -1,0 +1,177 @@
+"""End-to-end inference tests: the BASELINE config-1 slice (fixed --box, no
+detector) over synthetic media, exercising video I/O → mel → chunking →
+masking → generator → composite → encode, plus the CLI surface."""
+
+import os
+import dataclasses
+
+import cv2
+import jax
+import numpy as np
+import pytest
+
+from fixtures import make_video, make_wav
+from wav2lip_tpu.config import DEFAULT_CONFIG
+from wav2lip_tpu.infer import LipSyncPipeline
+from wav2lip_tpu.models import Wav2LipGenerator
+
+
+@pytest.fixture(scope="module")
+def gen_vars():
+    return jax.jit(Wav2LipGenerator().init)(
+        jax.random.key(0),
+        np.zeros((1, 80, 16, 1), np.float32),
+        np.zeros((1, 96, 96, 6), np.float32),
+    )
+
+
+@pytest.fixture(scope="module")
+def media(tmp_path_factory):
+    d = tmp_path_factory.mktemp("media")
+    video = make_video(str(d / "face.mp4"), num_frames=30, fps=25.0,
+                       w=128, h=128)
+    wav = make_wav(str(d / "a.wav"), seconds=1.0)
+    return video, wav
+
+
+def box_config(batch_size=16, **infer_kw):
+    return dataclasses.replace(
+        DEFAULT_CONFIG,
+        infer=dataclasses.replace(
+            DEFAULT_CONFIG.infer,
+            box=(20, 108, 20, 108),
+            wav2lip_batch_size=batch_size,
+            **infer_kw,
+        ),
+    )
+
+
+def read_all_frames(path):
+    cap = cv2.VideoCapture(path)
+    frames = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        frames.append(f)
+    cap.release()
+    return frames
+
+
+class TestBoxInference:
+    def test_end_to_end(self, gen_vars, media, tmp_path):
+        video, wav = media
+        out = str(tmp_path / "out.mp4")
+        pipe = LipSyncPipeline(gen_vars, detector=None, config=box_config())
+        result = pipe.run(video, wav, out, temp_dir=str(tmp_path / "tmp"))
+        assert os.path.isfile(result)
+
+        frames = read_all_frames(result)
+        # 1.0s audio → 81 mel frames → 22 chunks (21 in-range + the
+        # right-aligned tail, matching the reference loop)
+        assert len(frames) == 22
+        assert frames[0].shape == (128, 128, 3)
+
+        # pixels inside the box were re-rendered; outside untouched
+        src = read_all_frames(video)
+        inside = np.abs(
+            frames[0][20:108, 20:108].astype(int)
+            - src[0][20:108, 20:108].astype(int)
+        ).mean()
+        outside = np.abs(
+            frames[0][:20].astype(int) - src[0][:20].astype(int)
+        ).mean()
+        assert inside > 5.0
+        assert outside < 6.0  # codec noise only
+
+    def test_static_image_input(self, gen_vars, media, tmp_path):
+        video, wav = media
+        img_path = str(tmp_path / "face.png")
+        cv2.imwrite(img_path, read_all_frames(video)[0])
+        out = str(tmp_path / "img_out.mp4")
+        pipe = LipSyncPipeline(gen_vars, detector=None, config=box_config())
+        pipe.run(img_path, wav, out, fps=25.0, temp_dir=str(tmp_path / "t2"))
+        frames = read_all_frames(out)
+        assert len(frames) == 22
+
+    def test_partial_batch_and_batch_invariance(self, gen_vars, media,
+                                                tmp_path):
+        """Different batch sizes must produce identical output frames (the
+        last partial batch is padded, never re-shaped)."""
+        video, wav = media
+        outs = []
+        for bs in (7, 32):
+            out = str(tmp_path / f"out_{bs}.mp4")
+            pipe = LipSyncPipeline(gen_vars, detector=None,
+                                   config=box_config(batch_size=bs))
+            pipe.run(video, wav, out, temp_dir=str(tmp_path / f"t{bs}"))
+            outs.append(read_all_frames(out))
+        assert len(outs[0]) == len(outs[1])
+        for a, b in zip(outs[0], outs[1]):
+            # identical up to codec noise
+            assert np.abs(a.astype(int) - b.astype(int)).mean() < 2.0
+
+    def test_resize_factor_and_crop(self, gen_vars, media, tmp_path):
+        video, wav = media
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG,
+            infer=dataclasses.replace(
+                DEFAULT_CONFIG.infer,
+                box=(10, 54, 10, 54),
+                wav2lip_batch_size=8,
+                resize_factor=2,
+            ),
+        )
+        out = str(tmp_path / "rs.mp4")
+        pipe = LipSyncPipeline(gen_vars, detector=None, config=cfg)
+        pipe.run(video, wav, out, temp_dir=str(tmp_path / "t3"))
+        frames = read_all_frames(out)
+        assert frames[0].shape == (64, 64, 3)
+
+    def test_nan_audio_guard(self, gen_vars, media, tmp_path):
+        video, _ = media
+        import scipy.io.wavfile as wavfile
+
+        bad = str(tmp_path / "nan.wav")
+        wavfile.write(bad, 16000, np.full(16000, np.nan, np.float32))
+        pipe = LipSyncPipeline(gen_vars, detector=None, config=box_config())
+        with pytest.raises(ValueError, match="nan"):
+            pipe.run(video, bad, str(tmp_path / "x.mp4"),
+                     temp_dir=str(tmp_path / "t4"))
+
+
+class TestInferCLI:
+    def test_cli_with_orbax_checkpoint(self, gen_vars, media, tmp_path):
+        from wav2lip_tpu.cli.infer import main
+        from wav2lip_tpu.train import checkpoint as ckpt
+
+        video, wav = media
+        path = ckpt.save_checkpoint(
+            str(tmp_path / "ckpts"), 1,
+            {"params": gen_vars["params"],
+             "batch_stats": gen_vars["batch_stats"],
+             "opt_state": None, "global_step": 1, "global_epoch": 0},
+        )
+        out = str(tmp_path / "cli_out.mp4")
+        rc = main([
+            "--checkpoint_path", path,
+            "--face", video,
+            "--audio", wav,
+            "--outfile", out,
+            "--box", "20", "108", "20", "108",
+            "--wav2lip_batch_size", "16",
+            "--temp_dir", str(tmp_path / "t5"),
+        ])
+        assert rc == 0
+        assert os.path.isfile(out)
+
+    def test_cli_requires_detector_or_box(self, media, tmp_path):
+        from wav2lip_tpu.cli.infer import main
+
+        video, wav = media
+        rc = main([
+            "--checkpoint_path", "nonexistent",
+            "--face", video,
+            "--audio", wav,
+        ])
+        assert rc != 0

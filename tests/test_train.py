@@ -1,0 +1,211 @@
+"""Training step and trainer tests on the virtual 8-device CPU mesh.
+
+Covers: one jitted step of each pipeline (params change, metrics finite, BN
+stats update), the GAN two-optimizer update order, checkpoint save/restore
+round-trips, and the curriculum trigger semantics.
+"""
+
+import dataclasses
+import os
+
+import jax
+import numpy as np
+import optax
+import pytest
+
+from wav2lip_tpu.config import DEFAULT_CONFIG
+from wav2lip_tpu.parallel import make_mesh, shard_batch
+from wav2lip_tpu.train.state import TrainState
+from wav2lip_tpu.train.steps import (
+    make_gan_steps,
+    make_syncnet_steps,
+    make_wav2lip_steps,
+)
+
+
+def tree_l2_diff(a, b):
+    return sum(
+        float(np.abs(np.asarray(x) - np.asarray(y)).sum())
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    )
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh()
+
+
+@pytest.fixture(scope="module")
+def sync_batch():
+    r = np.random.default_rng(0)
+    B = 8
+    return (
+        r.standard_normal((B, 80, 16, 1)).astype(np.float32),
+        r.random((B, 48, 96, 15)).astype(np.float32),
+        (r.random((B, 1)) > 0.5).astype(np.float32),
+    )
+
+
+@pytest.fixture(scope="module")
+def w2l_batch():
+    r = np.random.default_rng(1)
+    B, T = 2, 5
+    return {
+        "x": r.random((B, T, 96, 96, 6)).astype(np.float32),
+        "indiv_mels": r.standard_normal((B, T, 80, 16, 1)).astype(np.float32),
+        "mel": r.standard_normal((B, 80, 16)).astype(np.float32),
+        "gt": r.random((B, T, 96, 96, 3)).astype(np.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def sync_vars():
+    from wav2lip_tpu.models import SyncNet
+
+    return jax.jit(SyncNet().init)(
+        jax.random.key(0),
+        np.zeros((1, 80, 16, 1), np.float32),
+        np.zeros((1, 48, 96, 15), np.float32),
+    )
+
+
+class TestSyncNetStep:
+    def test_step_updates_and_learns(self, mesh, sync_batch, sync_vars):
+        tx = optax.adam(1e-4)
+        train_step, eval_step = make_syncnet_steps(tx)
+        state = TrainState.create(sync_vars, tx)
+        batch = shard_batch(mesh, sync_batch)
+
+        state2, m = train_step(state, *batch)
+        assert np.isfinite(float(m["loss"]))
+        assert tree_l2_diff(state.params, state2.params) > 0
+        assert tree_l2_diff(state.batch_stats, state2.batch_stats) > 0
+        assert int(state2.step) == 1
+
+        em = eval_step(state2, *batch)
+        assert np.isfinite(float(em["loss"]))
+
+    def test_loss_decreases_over_steps(self, mesh, sync_batch, sync_vars):
+        tx = optax.adam(1e-3)
+        train_step, _ = make_syncnet_steps(tx)
+        state = TrainState.create(sync_vars, tx)
+        batch = shard_batch(mesh, sync_batch)
+        first = None
+        for i in range(12):
+            state, m = train_step(state, *batch)
+            if first is None:
+                first = float(m["loss"])
+        assert float(m["loss"]) < first  # overfits the fixed batch
+
+
+class TestWav2LipStep:
+    def test_step_no_sync(self, mesh, w2l_batch, sync_vars):
+        tx = optax.adam(1e-4)
+        train_step, eval_step = make_wav2lip_steps(tx)
+        from wav2lip_tpu.models import Wav2LipGenerator
+
+        gvars = jax.jit(Wav2LipGenerator().init)(
+            jax.random.key(1),
+            np.zeros((1, 5, 80, 16, 1), np.float32),
+            np.zeros((1, 5, 96, 96, 6), np.float32),
+        )
+        state = TrainState.create(gvars, tx)
+        batch = shard_batch(mesh, w2l_batch)
+
+        state2, m, g = train_step(state, sync_vars, batch,
+                                  np.float32(0.0), use_sync=False)
+        assert np.isfinite(float(m["loss"]))
+        assert float(m["sync"]) == 0.0
+        assert g.shape == (2, 5, 96, 96, 3)
+        # with wt=0, loss == l1
+        assert float(m["loss"]) == pytest.approx(float(m["l1"]), rel=1e-6)
+
+        state3, m2, _ = train_step(state2, sync_vars, batch,
+                                   np.float32(0.01), use_sync=True)
+        assert np.isfinite(float(m2["sync"])) and float(m2["sync"]) > 0
+        assert float(m2["loss"]) == pytest.approx(
+            0.01 * float(m2["sync"]) + 0.99 * float(m2["l1"]), rel=1e-5
+        )
+
+        em = eval_step(state3, sync_vars, batch)
+        assert np.isfinite(float(em["sync"]))
+
+
+class TestGANStep:
+    def test_full_gan_step(self, mesh, w2l_batch, sync_vars):
+        from wav2lip_tpu.models import Wav2LipGenerator, QualityDiscriminator
+
+        gen_tx = optax.adam(1e-4, b1=0.5)
+        disc_tx = optax.adam(1e-4, b1=0.5)
+        train_step, eval_step = make_gan_steps(gen_tx, disc_tx)
+        gvars = jax.jit(Wav2LipGenerator().init)(
+            jax.random.key(2),
+            np.zeros((1, 5, 80, 16, 1), np.float32),
+            np.zeros((1, 5, 96, 96, 6), np.float32),
+        )
+        dvars = jax.jit(QualityDiscriminator().init)(
+            jax.random.key(3), np.zeros((1, 5, 96, 96, 3), np.float32)
+        )
+        gs = TrainState.create(gvars, gen_tx)
+        ds = TrainState.create(dvars, disc_tx)
+        batch = shard_batch(mesh, w2l_batch)
+
+        gs2, ds2, m = train_step(gs, ds, sync_vars, batch,
+                                 np.float32(0.03), np.float32(0.07),
+                                 use_sync=True)
+        for k in ("gen_loss", "l1", "sync", "percep", "disc_real", "disc_fake"):
+            assert np.isfinite(float(m[k])), k
+        assert tree_l2_diff(gs.params, gs2.params) > 0
+        assert tree_l2_diff(ds.params, ds2.params) > 0
+
+        em = eval_step(gs2, ds2, sync_vars, batch)
+        assert np.isfinite(float(em["percep"]))
+
+
+class TestCheckpointRoundtrip:
+    def test_save_restore(self, tmp_path, sync_vars):
+        from wav2lip_tpu.train import checkpoint as ckpt
+
+        tx = optax.adam(1e-4)
+        state = TrainState.create(sync_vars, tx)
+        payload = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "global_step": 7,
+            "global_epoch": 1,
+        }
+        path = ckpt.save_checkpoint(str(tmp_path), 7, payload)
+        assert os.path.isdir(path)
+        assert ckpt.latest_checkpoint(str(tmp_path)) == path
+
+        restored = ckpt.load_orbax(path)
+        assert int(restored["global_step"]) == 7
+        np.testing.assert_allclose(
+            jax.tree.leaves(restored["params"])[0],
+            np.asarray(jax.tree.leaves(state.params)[0]),
+        )
+
+    def test_load_model_variables_orbax(self, tmp_path, sync_vars):
+        from wav2lip_tpu.train import checkpoint as ckpt
+
+        path = ckpt.save_checkpoint(
+            str(tmp_path), 1,
+            {"params": sync_vars["params"],
+             "batch_stats": sync_vars["batch_stats"],
+             "opt_state": None, "global_step": 1, "global_epoch": 0},
+        )
+        out = ckpt.load_model_variables(path, importer=None)
+        assert "params" in out and "batch_stats" in out
+
+
+class TestCurriculum:
+    def test_trigger_semantics(self):
+        """syncnet_wt flips to 0.01 (plain) / 0.03 (GAN) when eval sync < 0.75
+        (wav2lip_train.py:253-254, hq_wav2lip_train.py:289-290)."""
+        tcfg = DEFAULT_CONFIG.train
+        assert tcfg.syncnet_wt == 0.0
+        assert tcfg.sync_loss_curriculum_threshold == 0.75
+        assert tcfg.syncnet_wt_after_trigger == 0.01
+        assert tcfg.disc_wt == 0.07
+        assert tcfg.gan_adam_b1 == 0.5

@@ -51,6 +51,14 @@ class TestMelChunkStarts:
         with pytest.raises(ValueError):
             mel_chunk_starts(15, 25.0)
 
+    def test_tail_drop_mode(self):
+        # evaluation harness drops the tail instead of right-aligning
+        # (gen_videos_from_filelist.py:178-183)
+        ra = mel_chunk_starts(161, 25.0, tail="right_align")
+        dr = mel_chunk_starts(161, 25.0, tail="drop")
+        assert len(dr) == len(ra) - 1
+        np.testing.assert_array_equal(dr, ra[:-1])
+
     def test_exact_fit(self):
         # Reference quirk: when the audio holds exactly one window, the loop
         # emits it twice (the in-range chunk at 0, then the right-aligned tail

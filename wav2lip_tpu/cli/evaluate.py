@@ -1,0 +1,260 @@
+"""Evaluation harness CLI (reference: evaluation/).
+
+Two subcommands:
+
+``generate`` — batch lip-sync generation over a benchmark filelist of
+"audio_source video" pairs (reference gen_videos_from_filelist.py), with that
+harness's deltas from plain inference: pads default to (0, 0, 0, 0)
+(gen_videos_from_filelist.py:24), detector/model loaded once and reused
+(:126,150), videos skipped — not fatal — when frames are fewer than mel
+chunks (:195-196) or a face is missing (:200-203), and the final partial mel
+chunk *dropped* instead of right-aligned (:178-183).
+
+``score`` — LSE-D/LSE-C scoring of generated videos with this framework's
+self-contained SyncNet scorer (see wav2lip_tpu/eval/lse.py; the reference
+instead copies scripts into an external syncnet_python clone,
+evaluation/README.md:10-29). Appends per-video lines to ``all_scores.txt``
+like calculate_scores_real_videos.sh:7 and prints corpus averages like
+calculate_scores_LRS.py:43-50.
+
+    python -m wav2lip_tpu.cli.evaluate generate --filelist pairs.txt \
+        --data_root d --results_dir out --checkpoint_path g \
+        [--s3fd_checkpoint s]
+    python -m wav2lip_tpu.cli.evaluate score --videos_dir out \
+        --syncnet_checkpoint expert [--audio_root d]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import traceback
+from glob import glob
+from os.path import basename, join
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Wav2Lip evaluation harness")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="render videos for a pair filelist")
+    g.add_argument("--filelist", required=True,
+                   help='lines of "audio_id video_id" (test_filelists format)')
+    g.add_argument("--data_root", required=True)
+    g.add_argument("--results_dir", required=True)
+    g.add_argument("--checkpoint_path", required=True)
+    g.add_argument("--s3fd_checkpoint", default=None)
+    g.add_argument("--box", nargs=4, type=int, default=[-1, -1, -1, -1])
+    g.add_argument("--pads", nargs=4, type=int, default=[0, 0, 0, 0])
+    g.add_argument("--wav2lip_batch_size", type=int, default=128)
+    g.add_argument("--face_det_batch_size", type=int, default=16)
+    g.add_argument("--ext", default=".mp4", help="media extension under data_root")
+
+    r = sub.add_parser("real", help="ReSyncED real-video inference "
+                                    "(real_videos_inference.py modes)")
+    r.add_argument("--mode", choices=["dubbed", "random", "tts"],
+                   required=True)
+    r.add_argument("--filelist", required=True,
+                   help='lines of "video_file audio_file" (ReSyncED pairs)')
+    r.add_argument("--data_root", required=True)
+    r.add_argument("--results_dir", required=True)
+    r.add_argument("--checkpoint_path", required=True)
+    r.add_argument("--s3fd_checkpoint", default=None)
+    r.add_argument("--face_res", type=int, default=180)
+    r.add_argument("--wav2lip_batch_size", type=int, default=128)
+    r.add_argument("--face_det_batch_size", type=int, default=16)
+
+    s = sub.add_parser("score", help="LSE-D/LSE-C over generated videos")
+    s.add_argument("--videos_dir", required=True)
+    s.add_argument("--syncnet_checkpoint", required=True)
+    s.add_argument("--audio_root", default=None,
+                   help="directory of wavs named like the videos (required "
+                        "without ffmpeg)")
+    s.add_argument("--out_file", default="all_scores.txt")
+    s.add_argument("--vshift", type=int, default=15)
+    return p
+
+
+def cmd_generate(args) -> int:
+    import dataclasses
+
+    from wav2lip_tpu.config import DEFAULT_CONFIG
+    from wav2lip_tpu.convert import import_generator, import_s3fd
+    from wav2lip_tpu.detect import FaceDetectionPipeline
+    from wav2lip_tpu.infer import LipSyncPipeline
+    from wav2lip_tpu.train.checkpoint import load_model_variables
+
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        infer=dataclasses.replace(
+            DEFAULT_CONFIG.infer,
+            pads=tuple(args.pads),
+            box=tuple(args.box),
+            wav2lip_batch_size=args.wav2lip_batch_size,
+        ),
+    )
+    gen_vars = load_model_variables(args.checkpoint_path, import_generator)
+    detector = None
+    if args.box[0] == -1:
+        if args.s3fd_checkpoint is None:
+            print("error: need --s3fd_checkpoint or --box", file=sys.stderr)
+            return 2
+        detector = FaceDetectionPipeline(
+            load_model_variables(args.s3fd_checkpoint, import_s3fd),
+            cfg.detect, batch_size=args.face_det_batch_size,
+        )
+    pipeline = LipSyncPipeline(gen_vars, detector=detector, config=cfg)
+
+    os.makedirs(args.results_dir, exist_ok=True)
+    with open(args.filelist) as f:
+        pairs = [ln.split() for ln in f if ln.strip()]
+    ok = skipped = 0
+    for idx, (audio_id, video_id) in enumerate(pairs):
+        out = join(args.results_dir, f"{idx}.mp4")
+        try:
+            pipeline.run(
+                join(args.data_root, video_id + args.ext),
+                join(args.data_root, audio_id + args.ext),
+                out, temp_dir=join(args.results_dir, "temp"),
+            )
+            ok += 1
+        except KeyboardInterrupt:
+            return 1
+        except Exception:
+            # per-video resilience (gen_videos_from_filelist.py:200-203)
+            traceback.print_exc()
+            skipped += 1
+    print(f"generated {ok} videos, skipped {skipped}")
+    return 0
+
+
+def cmd_score(args) -> int:
+    from wav2lip_tpu.convert import import_syncnet
+    from wav2lip_tpu.eval import LSEScorer
+    from wav2lip_tpu.train.checkpoint import load_model_variables
+
+    sync_vars = load_model_variables(args.syncnet_checkpoint, import_syncnet)
+    scorer = LSEScorer(sync_vars, vshift=args.vshift)
+
+    videos = sorted(
+        glob(join(args.videos_dir, "*.mp4")) + glob(join(args.videos_dir, "*.avi"))
+    )
+    if not videos:
+        print(f"no videos in {args.videos_dir}", file=sys.stderr)
+        return 2
+    results = []
+    with open(args.out_file, "a") as f:
+        for v in videos:
+            wav = None
+            if args.audio_root:
+                wav = join(args.audio_root,
+                           basename(v).rsplit(".", 1)[0] + ".wav")
+            try:
+                r = scorer.score_video(v, wav)
+            except Exception:
+                traceback.print_exc()
+                continue
+            results.append(r)
+            f.write(f"{r.lse_d:.4f} {r.lse_c:.4f} {basename(v)}\n")
+            print(f"{basename(v)}: LSE-D {r.lse_d:.4f}  LSE-C {r.lse_c:.4f}  "
+                  f"offset {r.av_offset}")
+    if results:
+        import numpy as np
+
+        print(f"Average LSE-D {np.mean([r.lse_d for r in results]):.4f}  "
+              f"LSE-C {np.mean([r.lse_c for r in results]):.4f} "
+              f"over {len(results)} videos")
+    return 0
+
+
+def cmd_real(args) -> int:
+    """Real-video modes: dubbed = straight lip-sync; random/tts first rescale
+    so the face is ≈``--face_res`` px (real_videos_inference.py:51-70); tts
+    additionally stretches the video to the audio length by duplicating
+    frames (:149-167). Preprocessing happens into temp clips, then the
+    standard pipeline runs."""
+    import dataclasses
+
+    import cv2
+
+    from wav2lip_tpu.audio import load_wav
+    from wav2lip_tpu.config import DEFAULT_CONFIG
+    from wav2lip_tpu.convert import import_generator, import_s3fd
+    from wav2lip_tpu.detect import FaceDetectionPipeline
+    from wav2lip_tpu.eval.real_videos import (
+        increase_frames,
+        rescale_frames,
+        target_scale_for_face,
+    )
+    from wav2lip_tpu.infer import LipSyncPipeline
+    from wav2lip_tpu.io.video import VideoFrameWriter, read_video_frames
+    from wav2lip_tpu.train.checkpoint import load_model_variables
+
+    import numpy as np
+
+    if args.s3fd_checkpoint is None:
+        print("error: real-video modes need --s3fd_checkpoint",
+              file=sys.stderr)
+        return 2
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        infer=dataclasses.replace(
+            DEFAULT_CONFIG.infer,
+            pads=(0, 0, 0, 0),
+            wav2lip_batch_size=args.wav2lip_batch_size,
+        ),
+    )
+    gen_vars = load_model_variables(args.checkpoint_path, import_generator)
+    detector = FaceDetectionPipeline(
+        load_model_variables(args.s3fd_checkpoint, import_s3fd),
+        cfg.detect, batch_size=args.face_det_batch_size,
+    )
+    pipeline = LipSyncPipeline(gen_vars, detector=detector, config=cfg)
+
+    os.makedirs(args.results_dir, exist_ok=True)
+    temp = join(args.results_dir, "temp")
+    os.makedirs(temp, exist_ok=True)
+    with open(args.filelist) as f:
+        pairs = [ln.split() for ln in f if ln.strip()]
+    for idx, (video_id, audio_id) in enumerate(pairs):
+        try:
+            vpath = join(args.data_root, video_id)
+            apath = join(args.data_root, audio_id)
+            frames, fps = read_video_frames(vpath)
+            if args.mode in ("random", "tts"):
+                boxes = detector.first_face_boxes(np.asarray(frames[:1]))
+                if boxes[0] is not None:
+                    scale = target_scale_for_face(
+                        boxes[0], frames[0].shape[:2], args.face_res
+                    )
+                    frames = rescale_frames(frames, scale)
+            if args.mode == "tts":
+                wav = load_wav(apath, cfg.audio.sample_rate)
+                needed = int(len(wav) / cfg.audio.sample_rate * fps) + 1
+                frames = increase_frames(frames, needed)
+            prepped = join(temp, f"prepped_{idx}.avi")
+            with VideoFrameWriter(prepped, fps, frames[0].shape[:2],
+                                  fourcc="DIVX") as w:
+                for fr in frames:
+                    w.write(fr)
+            pipeline.run(prepped, apath, join(args.results_dir, f"{idx}.mp4"),
+                         temp_dir=temp)
+        except KeyboardInterrupt:
+            return 1
+        except Exception:
+            traceback.print_exc()
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cmd == "generate":
+        return cmd_generate(args)
+    if args.cmd == "real":
+        return cmd_real(args)
+    return cmd_score(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,72 @@
+"""SyncNet expert pretraining CLI (reference: color_syncnet_train.py).
+
+    python -m wav2lip_tpu.cli.train_syncnet --data_root preprocessed \
+        --checkpoint_dir ckpts [--checkpoint_path resume] \
+        [--filelists_dir filelists] [--max_steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        description="Train the SyncNet expert lip-sync discriminator"
+    )
+    p.add_argument("--data_root", required=True,
+                   help="root of the preprocessed dataset")
+    p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--checkpoint_path", default=None, help="resume from")
+    p.add_argument("--filelists_dir", default="filelists")
+    p.add_argument("--max_steps", type=int, default=10_000_000)
+    p.add_argument("--num_workers", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from wav2lip_tpu.config import DEFAULT_CONFIG
+    from wav2lip_tpu.data.dataset import (
+        PrefetchLoader,
+        WindowSampler,
+        get_video_list,
+    )
+    from wav2lip_tpu.train.trainers import SyncNetTrainer
+
+    cfg = DEFAULT_CONFIG
+    workers = args.num_workers or cfg.train.num_workers
+
+    train_sampler = WindowSampler(
+        get_video_list(args.data_root, "train", args.filelists_dir),
+        cfg.audio, cfg.model, seed=args.seed,
+    )
+    val_sampler = WindowSampler(
+        get_video_list(args.data_root, "val", args.filelists_dir),
+        cfg.audio, cfg.model, seed=args.seed + 1,
+    )
+    train_loader = PrefetchLoader(
+        train_sampler.sample_syncnet, cfg.train.syncnet_batch_size,
+        num_workers=workers,
+    )
+    val_loader = PrefetchLoader(
+        val_sampler.sample_syncnet, cfg.train.syncnet_batch_size,
+        num_workers=max(workers // 4, 1),
+    )
+
+    trainer = SyncNetTrainer(cfg, rng_seed=args.seed)
+    if args.checkpoint_path:
+        trainer.load(args.checkpoint_path)
+    try:
+        trainer.fit(iter(train_loader), iter(val_loader),
+                    args.checkpoint_dir, max_steps=args.max_steps)
+    finally:
+        train_loader.close()
+        val_loader.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

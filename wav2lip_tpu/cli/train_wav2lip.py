@@ -1,0 +1,93 @@
+"""Generator training CLI — plain (reference: wav2lip_train.py) and GAN
+(reference: hq_wav2lip_train.py) variants in one entry point.
+
+    python -m wav2lip_tpu.cli.train_wav2lip --data_root preprocessed \
+        --checkpoint_dir ckpts --syncnet_checkpoint_path expert_ckpt \
+        [--gan] [--checkpoint_path resume] [--disc_checkpoint_path resume] \
+        [--max_steps N]
+
+``--syncnet_checkpoint_path`` accepts an Orbax checkpoint or a reference
+``.pth``; it is loaded frozen with reset-optimizer semantics
+(wav2lip_train.py:365).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Train the Wav2Lip generator")
+    p.add_argument("--data_root", required=True)
+    p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--syncnet_checkpoint_path", required=True,
+                   help="pretrained frozen expert")
+    p.add_argument("--checkpoint_path", default=None,
+                   help="resume generator from")
+    p.add_argument("--disc_checkpoint_path", default=None,
+                   help="resume discriminator from (GAN mode)")
+    p.add_argument("--gan", action="store_true",
+                   help="train with the visual-quality discriminator "
+                        "(hq_wav2lip_train.py)")
+    p.add_argument("--filelists_dir", default="filelists")
+    p.add_argument("--max_steps", type=int, default=10_000_000)
+    p.add_argument("--num_workers", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dump_samples", action="store_true", default=True)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from wav2lip_tpu.config import DEFAULT_CONFIG
+    from wav2lip_tpu.convert import import_syncnet
+    from wav2lip_tpu.data.dataset import (
+        PrefetchLoader,
+        WindowSampler,
+        get_video_list,
+    )
+    from wav2lip_tpu.train.checkpoint import load_model_variables
+    from wav2lip_tpu.train.trainers import Wav2LipTrainer
+
+    cfg = DEFAULT_CONFIG
+    workers = args.num_workers or cfg.train.num_workers
+
+    sync_vars = load_model_variables(
+        args.syncnet_checkpoint_path, import_syncnet
+    )
+
+    train_sampler = WindowSampler(
+        get_video_list(args.data_root, "train", args.filelists_dir),
+        cfg.audio, cfg.model, seed=args.seed,
+    )
+    val_sampler = WindowSampler(
+        get_video_list(args.data_root, "val", args.filelists_dir),
+        cfg.audio, cfg.model, seed=args.seed + 1,
+    )
+    train_loader = PrefetchLoader(
+        train_sampler.sample_wav2lip, cfg.train.batch_size,
+        num_workers=workers,
+    )
+    val_loader = PrefetchLoader(
+        val_sampler.sample_wav2lip, cfg.train.batch_size,
+        num_workers=max(workers // 4, 1),
+    )
+
+    trainer = Wav2LipTrainer(sync_vars, cfg, gan=args.gan, rng_seed=args.seed)
+    if args.checkpoint_path:
+        trainer.load(args.checkpoint_path)
+    if args.gan and args.disc_checkpoint_path:
+        trainer.load_disc(args.disc_checkpoint_path)
+    try:
+        trainer.fit(iter(train_loader), iter(val_loader),
+                    args.checkpoint_dir, max_steps=args.max_steps,
+                    dump_samples=args.dump_samples)
+    finally:
+        train_loader.close()
+        val_loader.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

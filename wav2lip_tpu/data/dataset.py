@@ -1,0 +1,280 @@
+"""Host-side training input pipeline.
+
+Produces the reference's training samples (wav2lip_train.py:40-164,
+color_syncnet_train.py:37-131) from a preprocessed dataset directory tree
+(per-video folders of face-crop JPEGs named ``{frame_idx}.jpg`` plus an
+``audio.wav``), in NHWC layout ready for device transfer:
+
+* SyncNet sample: coin-flip positive/negative 5-frame lower-half window
+  stacked on channels (48, 96, 15), a (80, 16) mel window, and the label;
+* Wav2Lip sample: 6-channel masked-target ⊕ wrong-reference window
+  (T, 96, 96, 6), per-frame segmented mels (T, 80, 16, 1), the sync-loss mel
+  window (80, 16), and the ground-truth window (T, 96, 96, 3).
+
+Deliberate fix over the reference: each video's mel spectrogram is computed
+once and cached (the reference recomputes the full mel per *sample*,
+wav2lip_train.py:137-143 — the dominant input cost). Mels are deterministic,
+so behavior is unchanged. Rejection/resampling semantics are preserved:
+videos with ≤ 3·T frames are skipped, windows with missing frames or
+out-of-range mels are resampled.
+
+A ``PrefetchLoader`` runs sampling in worker threads (cv2 JPEG decode
+releases the GIL) and keeps a bounded queue of ready batches, standing in for
+the reference's torch DataLoader worker processes.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import random
+import threading
+from glob import glob
+from os.path import basename, dirname, isfile, join
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+from wav2lip_tpu.audio import load_wav, MelFrontend
+from wav2lip_tpu.config import AudioConfig, ModelConfig
+from wav2lip_tpu.data.windows import crop_audio_window, segmented_mels
+
+
+def get_video_list(data_root: str, split: str,
+                   filelists_dir: str = "filelists") -> List[str]:
+    """Read ``{filelists_dir}/{split}.txt`` → video directory paths
+    (reference hparams.py:4-12; lines may carry extra fields after a space)."""
+    out = []
+    with open(join(filelists_dir, f"{split}.txt")) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if " " in line:
+                line = line.split()[0]
+            out.append(join(data_root, line))
+    return out
+
+
+class WindowSampler:
+    """Random sync-window sampler over preprocessed video folders."""
+
+    def __init__(
+        self,
+        video_dirs: Sequence[str],
+        audio_cfg: AudioConfig = AudioConfig(),
+        model_cfg: ModelConfig = ModelConfig(),
+        seed: int = 0,
+        mel_cache_size: int = 256,
+    ):
+        if not video_dirs:
+            raise ValueError("empty video list")
+        self.videos = list(video_dirs)
+        self.acfg = audio_cfg
+        self.mcfg = model_cfg
+        self.rng = random.Random(seed)
+        self.frontend = MelFrontend(audio_cfg)
+        self._mel_cache: Dict[str, np.ndarray] = {}
+        self._mel_cache_size = mel_cache_size
+        self._lock = threading.Lock()
+
+    # -- helpers -------------------------------------------------------------
+
+    def _frame_id(self, path: str) -> int:
+        return int(basename(path).split(".")[0])
+
+    def _window_paths(self, start_path: str) -> Optional[List[str]]:
+        """T consecutive frame paths starting at ``start_path``, or None when
+        a frame is missing (undetected faces leave index gaps,
+        preprocess.py:61-67)."""
+        start = self._frame_id(start_path)
+        vid = dirname(start_path)
+        out = []
+        for fid in range(start, start + self.mcfg.syncnet_T):
+            p = join(vid, f"{fid}.jpg")
+            if not isfile(p):
+                return None
+            out.append(p)
+        return out
+
+    def _read_window(self, paths: List[str]) -> Optional[np.ndarray]:
+        frames = []
+        size = self.mcfg.img_size
+        for p in paths:
+            img = cv2.imread(p)
+            if img is None:
+                return None
+            frames.append(cv2.resize(img, (size, size)))
+        return np.stack(frames)  # (T, H, W, 3) BGR uint8
+
+    def _mel_for(self, vid_dir: str) -> Optional[np.ndarray]:
+        """Time-major (T_mel, 80) mel for the video's audio.wav, cached."""
+        with self._lock:
+            if vid_dir in self._mel_cache:
+                return self._mel_cache[vid_dir]
+        wavpath = join(vid_dir, "audio.wav")
+        try:
+            wav = load_wav(wavpath, self.acfg.sample_rate)
+            mel = self.frontend.melspectrogram(wav).T.copy()
+        except Exception:
+            return None
+        with self._lock:
+            if len(self._mel_cache) >= self._mel_cache_size:
+                self._mel_cache.pop(next(iter(self._mel_cache)))
+            self._mel_cache[vid_dir] = mel
+        return mel
+
+    def _pick_video(self) -> Tuple[str, List[str]]:
+        while True:
+            vid = self.videos[self.rng.randrange(len(self.videos))]
+            frames = glob(join(vid, "*.jpg"))
+            # reject too-short videos (reference wav2lip_train.py:116)
+            if len(frames) > 3 * self.mcfg.syncnet_T:
+                return vid, frames
+
+    # -- samples ---------------------------------------------------------------
+
+    def sample_syncnet(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """→ (faces (48, 96, 15) float32, mel (80, 16) float32, y (1,) float32).
+
+        Coin-flip between the aligned window (y=1) and a mismatched window
+        from the same video (y=0) (color_syncnet_train.py:80-87); face input
+        is the lower half with T frames stacked on channels, time-major.
+        """
+        T = self.mcfg.syncnet_T
+        size = self.mcfg.img_size
+        while True:
+            vid, frames = self._pick_video()
+            img_name = self.rng.choice(frames)
+            wrong_img_name = self.rng.choice(frames)
+            while wrong_img_name == img_name:
+                wrong_img_name = self.rng.choice(frames)
+
+            if self.rng.choice([True, False]):
+                y, chosen = 1.0, img_name
+            else:
+                y, chosen = 0.0, wrong_img_name
+
+            paths = self._window_paths(chosen)
+            if paths is None:
+                continue
+            window = self._read_window(paths)
+            if window is None:
+                continue
+            mel_tm = self._mel_for(vid)
+            if mel_tm is None:
+                continue
+            mel = crop_audio_window(
+                mel_tm, self._frame_id(img_name), self.mcfg.fps,
+                self.mcfg.mel_step_size,
+            )
+            if mel.shape[0] != self.mcfg.mel_step_size:
+                continue
+
+            lower = window[:, size // 2 :, :, :]  # (T, 48, 96, 3)
+            faces = np.transpose(lower, (1, 2, 0, 3)).reshape(
+                size // 2, size, T * 3
+            )
+            return (
+                faces.astype(np.float32) / 255.0,
+                mel.T.astype(np.float32),
+                np.asarray([y], np.float32),
+            )
+
+    def sample_wav2lip(self):
+        """→ dict with x (T,96,96,6), indiv_mels (T,80,16,1), mel (80,16),
+        gt (T,96,96,3) — reference wav2lip_train.py:111-164 semantics."""
+        T = self.mcfg.syncnet_T
+        size = self.mcfg.img_size
+        while True:
+            vid, frames = self._pick_video()
+            img_name = self.rng.choice(frames)
+            wrong_img_name = self.rng.choice(frames)
+            while wrong_img_name == img_name:
+                wrong_img_name = self.rng.choice(frames)
+
+            paths = self._window_paths(img_name)
+            wrong_paths = self._window_paths(wrong_img_name)
+            if paths is None or wrong_paths is None:
+                continue
+            window = self._read_window(paths)
+            wrong_window = self._read_window(wrong_paths)
+            if window is None or wrong_window is None:
+                continue
+            mel_tm = self._mel_for(vid)
+            if mel_tm is None:
+                continue
+            fid = self._frame_id(img_name)
+            mel = crop_audio_window(
+                mel_tm, fid, self.mcfg.fps, self.mcfg.mel_step_size
+            )
+            if mel.shape[0] != self.mcfg.mel_step_size:
+                continue
+            indiv = segmented_mels(
+                mel_tm, fid, self.mcfg.fps, T, self.mcfg.mel_step_size
+            )
+            if indiv is None:
+                continue
+
+            gt = window.astype(np.float32) / 255.0           # (T, H, W, 3)
+            masked = gt.copy()
+            masked[:, size // 2 :, :, :] = 0.0
+            ref = wrong_window.astype(np.float32) / 255.0
+            x = np.concatenate([masked, ref], axis=-1)        # (T, H, W, 6)
+            return {
+                "x": x,
+                "indiv_mels": indiv[..., None].astype(np.float32),
+                "mel": mel.T.astype(np.float32),
+                "gt": gt,
+            }
+
+
+class PrefetchLoader:
+    """Thread-pool batch loader with a bounded prefetch queue."""
+
+    def __init__(self, sample_fn, batch_size: int, num_workers: int = 4,
+                 prefetch: int = 4):
+        self.sample_fn = sample_fn
+        self.batch_size = batch_size
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._threads = [
+            threading.Thread(target=self._worker, daemon=True)
+            for _ in range(num_workers)
+        ]
+        for t in self._threads:
+            t.start()
+
+    def _collate(self, samples):
+        first = samples[0]
+        if isinstance(first, dict):
+            return {k: np.stack([s[k] for s in samples]) for k in first}
+        return tuple(np.stack(col) for col in zip(*samples))
+
+    def _worker(self):
+        while not self._stop.is_set():
+            batch = self._collate(
+                [self.sample_fn() for _ in range(self.batch_size)]
+            )
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self._q.get()
+
+    def close(self):
+        self._stop.set()
+        # drain so workers blocked on put() can exit
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass

@@ -29,13 +29,16 @@ def mel_chunk_starts(
     fps: float,
     mel_step_size: int = MEL_STEP_SIZE,
     mels_per_second: float = MELS_PER_SECOND,
+    tail: str = "right_align",
 ) -> np.ndarray:
     """Start index of the 16-wide mel window for each output video frame.
 
     Replicates the reference's chunking loop (inference.py:231-240): frame i
     reads mel columns ``[int(i * mels_per_second / fps), +mel_step_size)``;
-    the first frame whose window would run off the end instead gets the final
-    right-aligned window, and chunking stops there.
+    with ``tail="right_align"`` the first frame whose window would run off the
+    end gets the final right-aligned window and chunking stops there. The
+    evaluation generators instead *drop* the tail
+    (evaluation/gen_videos_from_filelist.py:178-183): ``tail="drop"``.
 
     Returns an int32 array of shape (num_chunks,); the number of chunks is the
     number of video frames that will be generated.
@@ -50,7 +53,8 @@ def mel_chunk_starts(
     while True:
         start = int(i * multiplier)
         if start + mel_step_size > num_mel_frames:
-            starts.append(num_mel_frames - mel_step_size)
+            if tail == "right_align":
+                starts.append(num_mel_frames - mel_step_size)
             break
         starts.append(start)
         i += 1

@@ -1,0 +1,123 @@
+"""Batched face-detection pipeline.
+
+TPU-native rework of the reference detection stack
+(face_detection/api.py:46-78 → sfd_detector.py:41-47 → detect.py:58-94 →
+bbox.py:44-64): one jitted graph runs preprocessing, the S3FD conv trunk,
+softmax, anchor decode, static top-K candidate selection and masked NMS for a
+whole batch of frames — no per-anchor host loop, no device→host round trip
+until the final (B, max_out, 5) detections.
+
+Semantics preserved from the reference: BGR inputs flipped to RGB before the
+net (api.py:65), mean subtraction with (104, 117, 123) (detect.py:59),
+candidate gate 0.05, NMS IoU 0.3, final keep threshold 0.5
+(sfd_detector.py:44-46), first (highest-score) face per frame with
+coordinates clipped non-negative and truncated to int (api.py:69-78).
+
+Instead of the reference's OOM-halving retry ladder (inference.py:74-85),
+batches are padded to a fixed ``batch_size`` so XLA sees one static shape per
+input resolution.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wav2lip_tpu.config import DetectConfig
+from wav2lip_tpu.models.s3fd import S3FD
+from wav2lip_tpu.ops.anchors import decode_all_scales
+from wav2lip_tpu.ops.nms import batched_nms
+from wav2lip_tpu.utils.cache import enable_compile_cache
+
+
+class FaceDetectionPipeline:
+    """Runs S3FD over batches of BGR uint8 frames.
+
+    One compiled executable per (batch_size, H, W); frames batches are padded
+    up to ``batch_size`` on the host. Use ``detect_batch`` for raw detections
+    or ``first_face_boxes`` for the reference's one-box-per-frame contract.
+    """
+
+    def __init__(
+        self,
+        variables,
+        cfg: DetectConfig = DetectConfig(),
+        batch_size: int = 16,
+        dtype=jnp.float32,
+    ):
+        enable_compile_cache()
+        self.variables = variables
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.dtype = dtype
+        self.model = S3FD()
+        self._jit_detect = jax.jit(self._detect_fn)
+
+    def _detect_fn(self, images_bgr: jnp.ndarray):
+        """(B, H, W, 3) float32 BGR → (boxes (B,K,4), scores (B,K), num (B,))."""
+        cfg = self.cfg
+        x = images_bgr[..., ::-1]  # BGR → RGB (api.py:65)
+        mean = jnp.asarray(cfg.mean_bgr, self.dtype)
+        x = (x - mean).astype(self.dtype)
+
+        heads = self.model.apply(self.variables, x)
+        scores, boxes = decode_all_scales(heads, cfg.variances)
+
+        k = min(cfg.max_candidates, scores.shape[1])
+        top_scores, top_idx = jax.lax.top_k(scores, k)
+        top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+        valid = top_scores > cfg.candidate_threshold
+
+        out_boxes, out_scores, _ = batched_nms(
+            top_boxes.astype(jnp.float32),
+            top_scores.astype(jnp.float32),
+            valid,
+            iou_threshold=cfg.nms_threshold,
+            max_out=cfg.max_detections,
+        )
+        kept = out_scores > cfg.keep_threshold
+        num = jnp.sum(kept, axis=1)
+        return out_boxes, out_scores, num
+
+    # -- host API -----------------------------------------------------------
+
+    def detect_batch(
+        self, frames_bgr: np.ndarray
+    ) -> List[List[Tuple[float, float, float, float, float]]]:
+        """(N, H, W, 3) uint8 BGR frames → per-frame [(x1,y1,x2,y2,score)]
+        lists, score-descending (reference detect_from_batch contract)."""
+        n = len(frames_bgr)
+        results: List[List[Tuple]] = []
+        for i in range(0, n, self.batch_size):
+            chunk = np.asarray(frames_bgr[i : i + self.batch_size], np.float32)
+            pad = self.batch_size - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)]
+                )
+            boxes, scores, num = self._jit_detect(chunk)
+            boxes, scores, num = map(np.asarray, (boxes, scores, num))
+            for j in range(min(self.batch_size, n - i)):
+                k = int(num[j])
+                results.append(
+                    [tuple(boxes[j, m]) + (float(scores[j, m]),) for m in range(k)]
+                )
+        return results
+
+    def first_face_boxes(
+        self, frames_bgr: np.ndarray
+    ) -> List[Optional[Tuple[int, int, int, int]]]:
+        """Per-frame first-face int bbox or None — the reference
+        ``get_detections_for_batch`` contract (api.py:64-78)."""
+        out: List[Optional[Tuple[int, int, int, int]]] = []
+        for dets in self.detect_batch(frames_bgr):
+            if not dets:
+                out.append(None)
+                continue
+            d = np.clip(np.asarray(dets[0][:4]), 0, None)
+            x1, y1, x2, y2 = map(int, d)
+            out.append((x1, y1, x2, y2))
+        return out

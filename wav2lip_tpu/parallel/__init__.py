@@ -1,0 +1,8 @@
+from wav2lip_tpu.parallel.mesh import (
+    make_mesh,
+    replicated,
+    batch_sharded,
+    shard_batch,
+)
+
+__all__ = ["make_mesh", "replicated", "batch_sharded", "shard_batch"]

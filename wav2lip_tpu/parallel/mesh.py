@@ -1,0 +1,56 @@
+"""Device mesh construction and sharding rules.
+
+The reference's only distribution mechanisms are ``nn.DataParallel``-trained
+checkpoints and per-GPU preprocessing fan-out (SURVEY.md §2); the TPU-native
+equivalent is a 1-D ``data`` mesh: batches shard across chips, parameters
+replicate, and XLA inserts gradient ``psum`` over ICI automatically from the
+sharding annotations. The models here are 14-36M-param CNNs — fully replicated
+parameters are the right layout (tensor/pipeline parallelism would add
+collectives with nothing to amortize them).
+
+Works identically on 1 chip, an 8-device virtual CPU mesh (tests), or a pod
+slice: every jitted step takes mesh-sharded arrays and the same code path runs
+everywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard axis 0 (batch) across the data axis; replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a pytree of host arrays with batch-axis sharding on the mesh.
+
+    Arrays whose leading dimension does not divide the mesh size are
+    replicated instead (XLA requires even shards); keep global batch sizes a
+    multiple of the device count for actual data parallelism.
+    """
+    n = mesh.devices.size
+
+    def put(x):
+        if np.ndim(x) >= 1 and np.shape(x)[0] % n == 0:
+            return jax.device_put(x, batch_sharded(mesh, np.ndim(x)))
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree.map(put, batch)

@@ -1,0 +1,77 @@
+"""Checkpoint subsystem: Orbax save/restore + reference ``.pth`` import.
+
+Logical content matches the reference checkpoint dict — model state, optimizer
+state, global_step, global_epoch (reference wav2lip_train.py:294-305) — stored
+as an Orbax composite. Loading dispatches on file type: a directory is an
+Orbax checkpoint, a ``.pth`` file goes through the torch importer (handling
+``module.`` prefixes, inference.py:174-175). Resume semantics mirror the
+reference's ``reset_optimizer`` / ``overwrite_global_states`` flags
+(wav2lip_train.py:316-336).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def save_checkpoint(
+    ckpt_dir: str,
+    step: int,
+    payload: Dict[str, Any],
+    prefix: str = "",
+) -> str:
+    """Write ``{ckpt_dir}/{prefix}checkpoint_step{step:09d}`` via Orbax.
+
+    ``payload`` is a pytree, typically ``{"params": ..., "batch_stats": ...,
+    "opt_state": ..., "global_step": ..., "global_epoch": ...}``.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(
+        os.path.join(ckpt_dir, f"{prefix}checkpoint_step{step:09d}")
+    )
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, jax.tree.map(np.asarray, payload), force=True)
+    return path
+
+
+def load_orbax(path: str, item=None) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path), item=item)
+
+
+def latest_checkpoint(ckpt_dir: str, prefix: str = "") -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    names = [
+        n for n in os.listdir(ckpt_dir)
+        if n.startswith(f"{prefix}checkpoint_step")
+        and os.path.isdir(os.path.join(ckpt_dir, n))
+    ]
+    if not names:
+        return None
+    return os.path.join(ckpt_dir, max(names))
+
+
+def load_model_variables(path: str, importer: Callable) -> Dict[str, Any]:
+    """Load model variables from either an Orbax checkpoint directory or a
+    reference torch ``.pth`` file (converted via ``importer``, one of the
+    ``wav2lip_tpu.convert.import_*`` functions).
+
+    Returns Flax variables ``{"params": ..., "batch_stats"?: ...}``.
+    """
+    if os.path.isdir(path):
+        restored = load_orbax(path)
+        out = {"params": restored["params"]}
+        if restored.get("batch_stats") is not None:
+            out["batch_stats"] = restored["batch_stats"]
+        return out
+    from wav2lip_tpu.convert.torch_import import load_torch_state_dict
+
+    return importer(load_torch_state_dict(path))

@@ -1,0 +1,296 @@
+"""Host-side training loops for the three pipelines.
+
+One generic loop drives the jitted steps from :mod:`wav2lip_tpu.train.steps`,
+reproducing each reference trainer's cadence: checkpoint/eval intervals
+(hparams.py:83-91), fixed-size eval passes (1400 / 700 / 300 batches), the
+sync-loss curriculum trigger (eval sync < 0.75 → syncnet_wt 0.01 or 0.03,
+wav2lip_train.py:249-254, hq_wav2lip_train.py:285-290), sample-image collages
+at checkpoints (wav2lip_train.py:166-177), and dual gen/``disc_``-prefixed
+checkpoints for the GAN run (hq_wav2lip_train.py:279-282).
+
+Unlike the reference's three copy-pasted scripts, the deltas live in three
+small trainer classes over one base; all device work stays inside the jitted
+steps and batches are placed with batch-axis sharding over the mesh.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from os.path import join
+from typing import Callable, Dict, Iterator, Optional
+
+import cv2
+import jax
+import numpy as np
+import optax
+
+from wav2lip_tpu.config import Config, DEFAULT_CONFIG
+from wav2lip_tpu.utils.cache import enable_compile_cache
+from wav2lip_tpu.models import Wav2LipGenerator, SyncNet, QualityDiscriminator
+from wav2lip_tpu.parallel import make_mesh, shard_batch
+from wav2lip_tpu.train import checkpoint as ckpt_lib
+from wav2lip_tpu.train.state import TrainState
+from wav2lip_tpu.train.steps import (
+    make_gan_steps,
+    make_syncnet_steps,
+    make_wav2lip_steps,
+)
+
+
+def save_sample_images(x, g, gt, step: int, checkpoint_dir: str):
+    """Dump ref/input/generated/gt collages (reference
+    wav2lip_train.py:166-177). Inputs are NHWC float [0,1] batches:
+    x (B,T,96,96,6), g/gt (B,T,96,96,3)."""
+    to_u8 = lambda a: np.clip(np.asarray(a) * 255.0, 0, 255).astype(np.uint8)
+    x, g, gt = to_u8(x), to_u8(g), to_u8(gt)
+    refs, inps = x[..., 3:], x[..., :3]
+    folder = join(checkpoint_dir, f"samples_step{step:09d}")
+    os.makedirs(folder, exist_ok=True)
+    collage = np.concatenate((refs, inps, g, gt), axis=-2)  # widthwise
+    for bi, c in enumerate(collage):
+        for t in range(len(c)):
+            cv2.imwrite(f"{folder}/{bi}_{t}.jpg", c[t])
+
+
+class _BaseTrainer:
+    def __init__(self, config: Config = DEFAULT_CONFIG, mesh=None,
+                 log_fn: Callable[[str], None] = print):
+        enable_compile_cache()
+        self.cfg = config
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.log = log_fn
+        self.global_step = 0
+        self.global_epoch = 0
+
+    def _shard(self, batch):
+        return shard_batch(self.mesh, batch)
+
+
+class SyncNetTrainer(_BaseTrainer):
+    """Expert discriminator pretraining (reference color_syncnet_train.py)."""
+
+    def __init__(self, config: Config = DEFAULT_CONFIG, mesh=None,
+                 log_fn=print, rng_seed: int = 0):
+        super().__init__(config, mesh, log_fn)
+        tcfg = config.train
+        self.tx = optax.adam(tcfg.syncnet_lr, b1=tcfg.adam_b1, b2=tcfg.adam_b2)
+        self.train_step, self.eval_step = make_syncnet_steps(self.tx)
+        model = SyncNet()
+        variables = jax.jit(model.init)(
+            jax.random.key(rng_seed),
+            np.zeros((1, 80, 16, 1), np.float32),
+            np.zeros((1, config.model.img_size // 2, config.model.img_size,
+                      3 * config.model.syncnet_T), np.float32),
+        )
+        self.state = TrainState.create(variables, self.tx)
+
+    def fit(self, train_iter: Iterator, val_iter: Optional[Iterator],
+            checkpoint_dir: str, max_steps: int,
+            eval_batches: Optional[int] = None) -> Dict[str, float]:
+        tcfg = self.cfg.train
+        eval_batches = eval_batches or tcfg.eval_steps_syncnet
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        running, seen = 0.0, 0
+        last = {}
+        while self.global_step < max_steps:
+            faces, mel, y = next(train_iter)
+            self.state, metrics = self.train_step(
+                self.state, *self._shard((mel, faces, y))
+            )
+            self.global_step += 1
+            running += float(metrics["loss"]); seen += 1
+            if (self.global_step == 1
+                    or self.global_step % tcfg.syncnet_checkpoint_interval == 0
+                    or self.global_step == max_steps):
+                self.save(checkpoint_dir)
+            if (val_iter is not None
+                    and self.global_step % tcfg.syncnet_eval_interval == 0):
+                last = self.evaluate(val_iter, eval_batches)
+                self.log(f"[syncnet eval @{self.global_step}] {last}")
+        self.log(f"[syncnet] avg train loss {running / max(seen, 1):.4f}")
+        return last or {"loss": running / max(seen, 1)}
+
+    def evaluate(self, val_iter: Iterator, num_batches: int):
+        losses = []
+        for _ in range(num_batches):
+            faces, mel, y = next(val_iter)
+            m = self.eval_step(self.state, *self._shard((mel, faces, y)))
+            losses.append(float(m["loss"]))
+        return {"loss": float(np.mean(losses))}
+
+    def save(self, checkpoint_dir: str):
+        ckpt_lib.save_checkpoint(
+            checkpoint_dir, self.global_step,
+            {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "opt_state": self.state.opt_state,
+                "global_step": self.global_step,
+                "global_epoch": self.global_epoch,
+            },
+        )
+
+    def load(self, path: str, reset_optimizer: bool = False,
+             overwrite_global_states: bool = True):
+        restored = ckpt_lib.load_orbax(path)
+        self.state = self.state.replace(
+            params=restored["params"], batch_stats=restored["batch_stats"]
+        )
+        if not reset_optimizer and restored.get("opt_state") is not None:
+            self.state = self.state.replace(opt_state=restored["opt_state"])
+        if overwrite_global_states:
+            self.global_step = int(restored["global_step"])
+            self.global_epoch = int(restored["global_epoch"])
+
+
+class Wav2LipTrainer(_BaseTrainer):
+    """Generator training with the frozen expert (reference wav2lip_train.py).
+
+    ``sync_vars``: frozen SyncNet variables (from an Orbax checkpoint or an
+    imported ``.pth``), loaded with reset-optimizer semantics
+    (wav2lip_train.py:365).
+    """
+
+    def __init__(self, sync_vars, config: Config = DEFAULT_CONFIG, mesh=None,
+                 log_fn=print, rng_seed: int = 0, gan: bool = False):
+        super().__init__(config, mesh, log_fn)
+        tcfg = config.train
+        self.gan = gan
+        b1 = tcfg.gan_adam_b1 if gan else tcfg.adam_b1
+        self.tx = optax.adam(tcfg.initial_learning_rate, b1=b1, b2=tcfg.adam_b2)
+        gen = Wav2LipGenerator()
+        T, S = config.model.syncnet_T, config.model.img_size
+        variables = jax.jit(gen.init)(
+            jax.random.key(rng_seed),
+            np.zeros((1, T, 80, 16, 1), np.float32),
+            np.zeros((1, T, S, S, 6), np.float32),
+        )
+        self.state = TrainState.create(variables, self.tx)
+        self.sync_vars = sync_vars
+        self.syncnet_wt = tcfg.syncnet_wt
+        if gan:
+            self.disc_tx = optax.adam(tcfg.disc_initial_learning_rate,
+                                      b1=tcfg.gan_adam_b1, b2=tcfg.adam_b2)
+            disc = QualityDiscriminator()
+            dvars = jax.jit(disc.init)(
+                jax.random.key(rng_seed + 1),
+                np.zeros((1, T, S, S, 3), np.float32),
+            )
+            self.disc_state = TrainState.create(dvars, self.disc_tx)
+            self.disc_wt = tcfg.disc_wt
+            self.train_step, self.eval_step = make_gan_steps(
+                self.tx, self.disc_tx
+            )
+            self.wt_after_trigger = 0.03  # hq_wav2lip_train.py:290
+        else:
+            self.train_step, self.eval_step = make_wav2lip_steps(self.tx)
+            self.wt_after_trigger = tcfg.syncnet_wt_after_trigger  # 0.01
+
+    def _step(self, batch):
+        sharded = self._shard(batch)
+        wt = np.float32(self.syncnet_wt)
+        if self.gan:
+            self.state, self.disc_state, metrics = self.train_step(
+                self.state, self.disc_state, self.sync_vars, sharded,
+                wt, np.float32(self.disc_wt), use_sync=self.syncnet_wt > 0.0,
+            )
+            return metrics, None
+        self.state, metrics, g = self.train_step(
+            self.state, self.sync_vars, sharded, wt,
+            use_sync=self.syncnet_wt > 0.0,
+        )
+        return metrics, g
+
+    def fit(self, train_iter: Iterator, val_iter: Optional[Iterator],
+            checkpoint_dir: str, max_steps: int,
+            eval_batches: Optional[int] = None,
+            dump_samples: bool = False) -> Dict[str, float]:
+        tcfg = self.cfg.train
+        if eval_batches is None:
+            eval_batches = (tcfg.eval_steps_gan if self.gan
+                            else tcfg.eval_steps_wav2lip)
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        last = {}
+        t0 = time.time()
+        while self.global_step < max_steps:
+            batch = next(train_iter)
+            metrics, g = self._step(batch)
+            self.global_step += 1
+            if (self.global_step == 1
+                    or self.global_step % tcfg.checkpoint_interval == 0
+                    or self.global_step == max_steps):
+                if dump_samples and g is not None:
+                    save_sample_images(batch["x"], g, batch["gt"],
+                                       self.global_step, checkpoint_dir)
+                self.save(checkpoint_dir)
+            if (val_iter is not None
+                    and self.global_step % tcfg.eval_interval == 0):
+                last = self.evaluate(val_iter, eval_batches)
+                self.log(f"[eval @{self.global_step}] {last}")
+                # curriculum trigger (wav2lip_train.py:249-254)
+                if last["sync"] < tcfg.sync_loss_curriculum_threshold:
+                    self.syncnet_wt = self.wt_after_trigger
+        dt = time.time() - t0
+        self.log(
+            f"[train] {self.global_step} steps in {dt:.1f}s "
+            f"({self.global_step / max(dt, 1e-9):.2f} steps/s), last {last}"
+        )
+        return last
+
+    def evaluate(self, val_iter: Iterator, num_batches: int):
+        sums: Dict[str, float] = {}
+        for _ in range(num_batches):
+            batch = self._shard(next(val_iter))
+            if self.gan:
+                m = self.eval_step(self.state, self.disc_state,
+                                   self.sync_vars, batch)
+            else:
+                m = self.eval_step(self.state, self.sync_vars, batch)
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        return {k: v / num_batches for k, v in sums.items()}
+
+    def save(self, checkpoint_dir: str):
+        ckpt_lib.save_checkpoint(
+            checkpoint_dir, self.global_step,
+            {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "opt_state": self.state.opt_state,
+                "global_step": self.global_step,
+                "global_epoch": self.global_epoch,
+            },
+        )
+        if self.gan:
+            ckpt_lib.save_checkpoint(
+                checkpoint_dir, self.global_step,
+                {
+                    "params": self.disc_state.params,
+                    "batch_stats": None,
+                    "opt_state": self.disc_state.opt_state,
+                    "global_step": self.global_step,
+                    "global_epoch": self.global_epoch,
+                },
+                prefix="disc_",  # hq_wav2lip_train.py:354-356
+            )
+
+    def load(self, path: str, reset_optimizer: bool = False,
+             overwrite_global_states: bool = True):
+        restored = ckpt_lib.load_orbax(path)
+        self.state = self.state.replace(
+            params=restored["params"], batch_stats=restored["batch_stats"]
+        )
+        if not reset_optimizer and restored.get("opt_state") is not None:
+            self.state = self.state.replace(opt_state=restored["opt_state"])
+        if overwrite_global_states:
+            self.global_step = int(restored["global_step"])
+            self.global_epoch = int(restored["global_epoch"])
+
+    def load_disc(self, path: str, reset_optimizer: bool = False):
+        restored = ckpt_lib.load_orbax(path)
+        self.disc_state = self.disc_state.replace(params=restored["params"])
+        if not reset_optimizer and restored.get("opt_state") is not None:
+            self.disc_state = self.disc_state.replace(
+                opt_state=restored["opt_state"]
+            )
