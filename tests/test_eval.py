@@ -53,6 +53,41 @@ class TestScoreEmbeddings:
         assert res.lse_c < 0.5  # no real alignment signal
 
 
+def reference_lse(im_feat, cc_feat, vshift):
+    """Direct numpy transliteration of the reference protocol: calc_pdist
+    (SyncNetInstance_calc_scores.py:19-31) + offset/conf/minval
+    (:131-137). Kept as an independent oracle — not shared with the
+    implementation under test."""
+    win = 2 * vshift + 1
+    cc_p = np.pad(cc_feat, ((vshift, vshift), (0, 0)))
+    dists = np.stack([
+        np.sqrt(((im_feat[i] - cc_p[i : i + win]) ** 2).sum(axis=1))
+        for i in range(len(im_feat))
+    ])  # (N windows, win shifts)
+    mdist = dists.mean(axis=0)
+    minidx = int(mdist.argmin())
+    minval = float(mdist[minidx])
+    return minval, float(np.median(mdist) - minval), vshift - minidx
+
+
+class TestReferenceProtocol:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_reference_transliteration(self, seed):
+        """score_embeddings must equal the reference statistic exactly:
+        mean-over-windows curve FIRST, then min / median − min (min and mean
+        do not commute; the round-1 implementation got this wrong)."""
+        scorer = make_scorer(vshift=15)
+        r = np.random.default_rng(seed)
+        n, d = 47, 32
+        a = r.standard_normal((n, d))
+        v = r.standard_normal((n, d)) + 0.3 * np.roll(a, 2, axis=0)
+        res = scorer.score_embeddings(a, v)
+        ref_d, ref_c, ref_off = reference_lse(im_feat=v, cc_feat=a, vshift=15)
+        assert res.lse_d == pytest.approx(ref_d, rel=1e-12)
+        assert res.lse_c == pytest.approx(ref_c, rel=1e-12)
+        assert res.av_offset == ref_off
+
+
 class TestScoreVideo:
     def test_end_to_end_synthetic(self, tmp_path):
         video = make_video(str(tmp_path / "v.mp4"), num_frames=40, fps=25.0,

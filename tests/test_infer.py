@@ -111,6 +111,34 @@ class TestBoxInference:
             # identical up to codec noise
             assert np.abs(a.astype(int) - b.astype(int)).mean() < 2.0
 
+    def test_tail_drop_chunking(self, gen_vars, media, tmp_path):
+        """Eval-harness mode drops the final partial mel chunk instead of
+        right-aligning it (gen_videos_from_filelist.py:178-183): one fewer
+        output frame than product mode for a non-dividing mel length."""
+        video, wav = media
+        pipe = LipSyncPipeline(gen_vars, detector=None, config=box_config())
+        out = str(tmp_path / "drop.mp4")
+        pipe.run(video, wav, out, temp_dir=str(tmp_path / "td"), tail="drop")
+        # 81 mel frames → 21 full chunks; the 22nd (right-aligned) is dropped
+        assert len(read_all_frames(out)) == 21
+
+    def test_skip_if_short(self, gen_vars, media, tmp_path):
+        """skip_if_short raises when frames < mel chunks
+        (gen_videos_from_filelist.py:195-196) instead of cycling frames."""
+        from wav2lip_tpu.infer.pipeline import VideoTooShortError
+
+        _, wav = media
+        short = make_video(str(tmp_path / "short.mp4"), num_frames=10,
+                           fps=25.0, w=128, h=128)
+        pipe = LipSyncPipeline(gen_vars, detector=None, config=box_config())
+        with pytest.raises(VideoTooShortError):
+            pipe.run(short, wav, str(tmp_path / "s.mp4"),
+                     temp_dir=str(tmp_path / "ts"), skip_if_short=True)
+        # without the flag the same clip renders by cycling frames
+        pipe.run(short, wav, str(tmp_path / "s2.mp4"),
+                 temp_dir=str(tmp_path / "ts2"))
+        assert len(read_all_frames(str(tmp_path / "s2.mp4"))) == 22
+
     def test_resize_factor_and_crop(self, gen_vars, media, tmp_path):
         video, wav = media
         cfg = dataclasses.replace(

@@ -199,6 +199,95 @@ class TestCheckpointRoundtrip:
         assert "params" in out and "batch_stats" in out
 
 
+class TestTrainerResume:
+    def test_resume_then_step(self, tmp_path, sync_batch):
+        """Optimizer state must restore against the live-state template so a
+        train step AFTER load() works — Orbax without a template returns
+        optax namedtuples as dicts and tx.update crashes (round-1 advisor
+        high-severity finding)."""
+        import optax as _optax
+
+        from wav2lip_tpu.train import checkpoint as ckpt
+        from wav2lip_tpu.train.trainers import SyncNetTrainer
+
+        mel, faces, y = sync_batch
+        t1 = SyncNetTrainer(rng_seed=0)
+        t1.state, _ = t1.train_step(t1.state, *t1._shard((mel, faces, y)))
+        t1.global_step, t1.global_epoch = 1, 2
+        t1.save(str(tmp_path))
+        path = ckpt.latest_checkpoint(str(tmp_path))
+
+        t2 = SyncNetTrainer(rng_seed=99)
+        t2.load(path)  # reset_optimizer=False: opt_state must round-trip
+        assert (t2.global_step, t2.global_epoch) == (1, 2)
+        # restored opt_state keeps the optax pytree structure (adam mu/nu)
+        assert jax.tree.structure(t2.state.opt_state) == jax.tree.structure(
+            t1.state.opt_state
+        )
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(t2.state.opt_state)[1]),
+            np.asarray(jax.tree.leaves(t1.state.opt_state)[1]),
+        )
+        # the regression: this crashed in tx.update before the fix
+        t2.state, m = t2.train_step(t2.state, *t2._shard((mel, faces, y)))
+        assert np.isfinite(float(m["loss"]))
+
+    def test_reset_optimizer_load(self, tmp_path, sync_batch):
+        """reset_optimizer=True loads params only (frozen-expert semantics,
+        wav2lip_train.py:365) and must work without a structure template."""
+        from wav2lip_tpu.train import checkpoint as ckpt
+        from wav2lip_tpu.train.trainers import SyncNetTrainer
+
+        mel, faces, y = sync_batch
+        t1 = SyncNetTrainer(rng_seed=0)
+        t1.save(str(tmp_path))
+        t2 = SyncNetTrainer(rng_seed=1)
+        fresh_opt = t2.state.opt_state
+        t2.load(ckpt.latest_checkpoint(str(tmp_path)), reset_optimizer=True,
+                overwrite_global_states=False)
+        assert t2.state.opt_state is fresh_opt
+        t2.state, m = t2.train_step(t2.state, *t2._shard((mel, faces, y)))
+        assert np.isfinite(float(m["loss"]))
+
+
+class TestTrainerLoop:
+    def test_fit_metrics_epochs(self, tmp_path, sync_batch):
+        """fit() writes JSONL metrics into the checkpoint dir and counts
+        epochs via steps_per_epoch (reference global_epoch,
+        wav2lip_train.py:299-304)."""
+        import itertools
+        import json
+
+        from wav2lip_tpu.train.trainers import SyncNetTrainer
+
+        mel, faces, y = sync_batch
+        t = SyncNetTrainer(rng_seed=0)
+        it = itertools.repeat((faces, mel, y))  # fit expects (faces, mel, y)
+        t.fit(iter(it), None, str(tmp_path), max_steps=3, steps_per_epoch=2)
+        assert t.global_step == 3
+        assert t.global_epoch == 1  # one full 2-step pass completed
+        log_path = tmp_path / "train_log.jsonl"
+        assert log_path.exists()
+        recs = [json.loads(ln) for ln in log_path.read_text().splitlines()]
+        assert any(r["prefix"] == "train" and r["step"] == 1 for r in recs)
+
+
+class TestShardBatch:
+    def test_warns_on_indivisible_batch(self, mesh):
+        """A batch not divisible by the mesh silently replicated 8x work in
+        round 1; now it must warn."""
+        with pytest.warns(UserWarning, match="not\\s+divisible"):
+            shard_batch(mesh, np.zeros((3, 4), np.float32))
+
+    def test_divisible_batch_sharded_quietly(self, mesh):
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            out = shard_batch(mesh, np.zeros((8, 4), np.float32))
+        assert out.sharding.is_fully_replicated is False
+
+
 class TestCurriculum:
     def test_trigger_semantics(self):
         """syncnet_wt flips to 0.01 (plain) / 0.03 (GAN) when eval sync < 0.75

@@ -113,10 +113,13 @@ def cmd_generate(args) -> int:
     for idx, (audio_id, video_id) in enumerate(pairs):
         out = join(args.results_dir, f"{idx}.mp4")
         try:
+            # eval-harness chunking deltas: drop the tail chunk + skip short
+            # videos (gen_videos_from_filelist.py:178-183,195-196)
             pipeline.run(
                 join(args.data_root, video_id + args.ext),
                 join(args.data_root, audio_id + args.ext),
                 out, temp_dir=join(args.results_dir, "temp"),
+                tail="drop", skip_if_short=True,
             )
             ok += 1
         except KeyboardInterrupt:

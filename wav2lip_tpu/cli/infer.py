@@ -54,6 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--s3fd_checkpoint", default=None,
                    help="S3FD detector weights (Orbax dir or torch .pth)")
     p.add_argument("--temp_dir", default="temp")
+    p.add_argument("--trace_dir", default=None,
+                   help="capture a jax.profiler device trace here")
     return p
 
 
@@ -103,13 +105,16 @@ def main(argv=None) -> int:
     else:
         print("Using the specified bounding box instead of face detection...")
 
+    from wav2lip_tpu.utils.profiling import device_trace
+
     pipeline = LipSyncPipeline(gen_vars, detector=detector, config=cfg)
-    out = pipeline.run(
-        args.face, args.audio, args.outfile,
-        fps=args.fps if args.static or args.face.lower().endswith(
-            (".jpg", ".jpeg", ".png")) else None,
-        temp_dir=args.temp_dir,
-    )
+    with device_trace(args.trace_dir):
+        out = pipeline.run(
+            args.face, args.audio, args.outfile,
+            fps=args.fps if args.static or args.face.lower().endswith(
+                (".jpg", ".jpeg", ".png")) else None,
+            temp_dir=args.temp_dir,
+        )
     print(f"wrote {out}")
     return 0
 

@@ -22,6 +22,8 @@ def build_parser():
     p.add_argument("--max_steps", type=int, default=10_000_000)
     p.add_argument("--num_workers", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--trace_dir", default=None,
+                   help="capture a jax.profiler device trace here")
     return p
 
 
@@ -35,12 +37,14 @@ def main(argv=None) -> int:
         get_video_list,
     )
     from wav2lip_tpu.train.trainers import SyncNetTrainer
+    from wav2lip_tpu.utils.profiling import device_trace
 
     cfg = DEFAULT_CONFIG
     workers = args.num_workers or cfg.train.num_workers
 
+    train_videos = get_video_list(args.data_root, "train", args.filelists_dir)
     train_sampler = WindowSampler(
-        get_video_list(args.data_root, "train", args.filelists_dir),
+        train_videos,
         cfg.audio, cfg.model, seed=args.seed,
     )
     val_sampler = WindowSampler(
@@ -59,9 +63,15 @@ def main(argv=None) -> int:
     trainer = SyncNetTrainer(cfg, rng_seed=args.seed)
     if args.checkpoint_path:
         trainer.load(args.checkpoint_path)
+    # one 'epoch' = one pass over the video list (wav2lip_train.py:203)
+    steps_per_epoch = max(
+        1, len(train_videos) // cfg.train.syncnet_batch_size
+    )
     try:
-        trainer.fit(iter(train_loader), iter(val_loader),
-                    args.checkpoint_dir, max_steps=args.max_steps)
+        with device_trace(args.trace_dir):
+            trainer.fit(iter(train_loader), iter(val_loader),
+                        args.checkpoint_dir, max_steps=args.max_steps,
+                        steps_per_epoch=steps_per_epoch)
     finally:
         train_loader.close()
         val_loader.close()

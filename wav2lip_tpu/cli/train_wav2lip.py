@@ -34,6 +34,8 @@ def build_parser():
     p.add_argument("--num_workers", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dump_samples", action="store_true", default=True)
+    p.add_argument("--trace_dir", default=None,
+                   help="capture a jax.profiler device trace here")
     return p
 
 
@@ -49,6 +51,7 @@ def main(argv=None) -> int:
     )
     from wav2lip_tpu.train.checkpoint import load_model_variables
     from wav2lip_tpu.train.trainers import Wav2LipTrainer
+    from wav2lip_tpu.utils.profiling import device_trace
 
     cfg = DEFAULT_CONFIG
     workers = args.num_workers or cfg.train.num_workers
@@ -57,8 +60,9 @@ def main(argv=None) -> int:
         args.syncnet_checkpoint_path, import_syncnet
     )
 
+    train_videos = get_video_list(args.data_root, "train", args.filelists_dir)
     train_sampler = WindowSampler(
-        get_video_list(args.data_root, "train", args.filelists_dir),
+        train_videos,
         cfg.audio, cfg.model, seed=args.seed,
     )
     val_sampler = WindowSampler(
@@ -79,10 +83,14 @@ def main(argv=None) -> int:
         trainer.load(args.checkpoint_path)
     if args.gan and args.disc_checkpoint_path:
         trainer.load_disc(args.disc_checkpoint_path)
+    # one 'epoch' = one pass over the video list (wav2lip_train.py:203)
+    steps_per_epoch = max(1, len(train_videos) // cfg.train.batch_size)
     try:
-        trainer.fit(iter(train_loader), iter(val_loader),
-                    args.checkpoint_dir, max_steps=args.max_steps,
-                    dump_samples=args.dump_samples)
+        with device_trace(args.trace_dir):
+            trainer.fit(iter(train_loader), iter(val_loader),
+                        args.checkpoint_dir, max_steps=args.max_steps,
+                        dump_samples=args.dump_samples,
+                        steps_per_epoch=steps_per_epoch)
     finally:
         train_loader.close()
         val_loader.close()

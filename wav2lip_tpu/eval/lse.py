@@ -7,11 +7,13 @@ window over the video and the aligned mel window over the audio, embed both
 with a SyncNet, compute pairwise distances over ±``vshift`` frame offsets,
 and report
 
-* LSE-D — mean over windows of the minimum audio-visual distance, and
-* LSE-C — mean over windows of (median distance − distance at each window's
-  best offset), i.e. the sync confidence;
+* LSE-D — the minimum of the mean-over-windows distance curve, and
+* LSE-C — median(curve) − min(curve), the sync confidence;
 
-plus the inferred AV offset (argmin of the mean distance curve).
+plus the inferred AV offset (vshift − argmin of the mean curve). This is the
+reference statistic exactly (SyncNetInstance_calc_scores.py:131-137: mdist =
+mean over windows first, then min/median of that curve); per-corpus numbers
+average these per-video scores (calculate_scores_LRS.py:40-50).
 
 Difference from the reference, by design: the reference depends on a clone of
 the external ``syncnet_python`` repo and its MFCC frontend
@@ -119,13 +121,16 @@ class LSEScorer:
             dists[:, s] = np.sqrt((diff ** 2).sum(axis=1))
         # windows whose shifted index falls outside [0, n) used padded zeros —
         # same as the reference's zero-padding of the feature tensor.
+        # Reference order of operations (SyncNetInstance_calc_scores.py:
+        # 131-137): mean over windows FIRST, then min/median of the curve —
+        # min and mean do not commute, so per-window minima would bias
+        # LSE-D low.
         mean_curve = dists.mean(axis=0)
         best_shift = int(np.argmin(mean_curve))
-        min_per_win = dists.min(axis=1)
-        conf_per_win = np.median(dists, axis=1) - dists[:, best_shift]
+        minval = float(mean_curve[best_shift])
         return LSEResult(
-            lse_d=float(min_per_win.mean()),
-            lse_c=float(conf_per_win.mean()),
+            lse_d=minval,
+            lse_c=float(np.median(mean_curve) - minval),
             av_offset=vshift - best_shift,
         )
 

@@ -53,6 +53,12 @@ class FaceNotDetectedError(ValueError):
     pass
 
 
+class VideoTooShortError(ValueError):
+    """Raised in ``skip_if_short`` mode when a video has fewer frames than
+    mel chunks (the eval harness skips such videos,
+    gen_videos_from_filelist.py:195-196)."""
+
+
 @dataclass
 class FrameCrop:
     """Per output frame: source frame index and face box (y1, y2, x1, x2)."""
@@ -150,7 +156,18 @@ class LipSyncPipeline:
         outfile: str,
         fps: Optional[float] = None,
         temp_dir: str = "temp",
+        tail: str = "right_align",
+        skip_if_short: bool = False,
     ) -> str:
+        """Lip-sync ``face_path`` to ``audio_path`` into ``outfile``.
+
+        ``tail`` selects the final-mel-chunk policy: ``"right_align"`` is the
+        product behavior (inference.py:236-237); ``"drop"`` is the eval
+        harness's (gen_videos_from_filelist.py:178-183). ``skip_if_short``
+        raises :class:`VideoTooShortError` when the clip has fewer frames
+        than mel chunks instead of cycling frames (eval harness,
+        gen_videos_from_filelist.py:195-196).
+        """
         icfg = self.cfg.infer
         static = icfg.static
         self.timings = StageTimer()
@@ -191,10 +208,14 @@ class LipSyncPipeline:
 
         # 3. chunk plan: one mel window per output frame
         starts = mel_chunk_starts(
-            mel.shape[1], video_fps, self.cfg.model.mel_step_size
+            mel.shape[1], video_fps, self.cfg.model.mel_step_size, tail=tail
         )
         mel_chunks = slice_mel_chunks(mel, starts, self.cfg.model.mel_step_size)
         num_out = len(mel_chunks)
+        if skip_if_short and not static and len(frames) < num_out:
+            raise VideoTooShortError(
+                f"{face_path}: {len(frames)} frames < {num_out} mel chunks"
+            )
         frames = frames[:num_out] if not static else frames
 
         # 4. face boxes once per source frame

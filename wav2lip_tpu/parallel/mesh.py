@@ -15,6 +15,7 @@ everywhere.
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Sequence
 
 import jax
@@ -43,14 +44,23 @@ def shard_batch(mesh: Mesh, batch):
     """Place a pytree of host arrays with batch-axis sharding on the mesh.
 
     Arrays whose leading dimension does not divide the mesh size are
-    replicated instead (XLA requires even shards); keep global batch sizes a
-    multiple of the device count for actual data parallelism.
+    replicated instead (XLA requires even shards) with a warning — silent
+    replication would make every chip compute the full batch; keep global
+    batch sizes a multiple of the device count for actual data parallelism.
     """
     n = mesh.devices.size
 
     def put(x):
-        if np.ndim(x) >= 1 and np.shape(x)[0] % n == 0:
-            return jax.device_put(x, batch_sharded(mesh, np.ndim(x)))
+        if np.ndim(x) >= 1:
+            if np.shape(x)[0] % n == 0:
+                return jax.device_put(x, batch_sharded(mesh, np.ndim(x)))
+            if n > 1:
+                warnings.warn(
+                    f"shard_batch: leading dim {np.shape(x)[0]} is not "
+                    f"divisible by the {n}-device mesh — replicating instead "
+                    f"(no data parallelism for this array)",
+                    stacklevel=3,
+                )
         return jax.device_put(x, replicated(mesh))
 
     return jax.tree.map(put, batch)

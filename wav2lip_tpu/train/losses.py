@@ -43,15 +43,3 @@ def fold_lower_half_for_syncnet(g: jnp.ndarray) -> jnp.ndarray:
     lower = g[:, :, H // 2 :, :, :]               # (B, T, H/2, W, 3)
     lower = jnp.transpose(lower, (0, 2, 3, 1, 4))  # (B, H/2, W, T, 3)
     return lower.reshape(B, H // 2, W, T * C)
-
-
-def sync_loss_from_frames(syncnet_apply, sync_vars, mel, g) -> jnp.ndarray:
-    """Expert sync loss on generated frames: cosine-BCE toward 'in sync'
-    (y=1) using the frozen SyncNet (wav2lip_train.py:192-198).
-
-    ``mel``: (B, 80, 16, 1); ``g``: (B, T, 96, 96, 3).
-    """
-    v_in = fold_lower_half_for_syncnet(g)
-    a, v = syncnet_apply(sync_vars, mel, v_in)
-    y = jnp.ones((a.shape[0], 1), a.dtype)
-    return cosine_bce_loss(a, v, y)

@@ -27,6 +27,7 @@ import optax
 
 from wav2lip_tpu.config import Config, DEFAULT_CONFIG
 from wav2lip_tpu.utils.cache import enable_compile_cache
+from wav2lip_tpu.utils.logging import MetricsLogger
 from wav2lip_tpu.models import Wav2LipGenerator, SyncNet, QualityDiscriminator
 from wav2lip_tpu.parallel import make_mesh, shard_batch
 from wav2lip_tpu.train import checkpoint as ckpt_lib
@@ -55,16 +56,64 @@ def save_sample_images(x, g, gt, step: int, checkpoint_dir: str):
 
 class _BaseTrainer:
     def __init__(self, config: Config = DEFAULT_CONFIG, mesh=None,
-                 log_fn: Callable[[str], None] = print):
+                 log_fn: Callable[[str], None] = print,
+                 metrics_logger: Optional[MetricsLogger] = None,
+                 log_every: int = 100):
         enable_compile_cache()
         self.cfg = config
         self.mesh = mesh if mesh is not None else make_mesh()
         self.log = log_fn
+        self.metrics_logger = metrics_logger
+        self.log_every = log_every
         self.global_step = 0
         self.global_epoch = 0
 
     def _shard(self, batch):
         return shard_batch(self.mesh, batch)
+
+    def _open_metrics(self, checkpoint_dir: str) -> MetricsLogger:
+        """Train/eval metrics go to ``{checkpoint_dir}/train_log.jsonl``
+        unless a logger was injected (the reference only has tqdm postfix
+        strings — SURVEY.md §5 metrics/logging)."""
+        if self.metrics_logger is None:
+            self.metrics_logger = MetricsLogger(
+                join(checkpoint_dir, "train_log.jsonl")
+            )
+        return self.metrics_logger
+
+    def _log_train(self, metrics) -> None:
+        if (self.metrics_logger is not None
+                and (self.global_step == 1
+                     or self.global_step % self.log_every == 0)):
+            self.metrics_logger.log(self.global_step, metrics, prefix="train")
+
+    def _tick_epoch(self, steps_per_epoch: Optional[int]) -> None:
+        """One reference 'epoch' = one pass over the dataset; with infinite
+        samplers that is ``len(dataset) // batch`` steps
+        (wav2lip_train.py:203,258: global_epoch += 1 per DataLoader pass)."""
+        if steps_per_epoch and self.global_step % steps_per_epoch == 0:
+            self.global_epoch += 1
+
+    def _restore(self, path: str, state: TrainState,
+                 reset_optimizer: bool) -> Dict:
+        """Restore a trainer checkpoint against the live state's structure.
+
+        Without a template Orbax returns optax namedtuples as plain dicts and
+        the next ``tx.update`` crashes; restoring with ``item=`` re-builds the
+        exact opt_state pytree. With ``reset_optimizer`` the raw restore is
+        used (params/batch_stats are plain dicts, no template needed) so
+        checkpoints from a different optimizer still load.
+        """
+        if reset_optimizer:
+            return ckpt_lib.load_orbax(path)
+        template = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "global_step": 0,
+            "global_epoch": 0,
+        }
+        return ckpt_lib.load_orbax(path, item=template)
 
 
 class SyncNetTrainer(_BaseTrainer):
@@ -87,10 +136,12 @@ class SyncNetTrainer(_BaseTrainer):
 
     def fit(self, train_iter: Iterator, val_iter: Optional[Iterator],
             checkpoint_dir: str, max_steps: int,
-            eval_batches: Optional[int] = None) -> Dict[str, float]:
+            eval_batches: Optional[int] = None,
+            steps_per_epoch: Optional[int] = None) -> Dict[str, float]:
         tcfg = self.cfg.train
         eval_batches = eval_batches or tcfg.eval_steps_syncnet
         os.makedirs(checkpoint_dir, exist_ok=True)
+        self._open_metrics(checkpoint_dir)
         running, seen = 0.0, 0
         last = {}
         while self.global_step < max_steps:
@@ -99,6 +150,8 @@ class SyncNetTrainer(_BaseTrainer):
                 self.state, *self._shard((mel, faces, y))
             )
             self.global_step += 1
+            self._tick_epoch(steps_per_epoch)
+            self._log_train(metrics)
             running += float(metrics["loss"]); seen += 1
             if (self.global_step == 1
                     or self.global_step % tcfg.syncnet_checkpoint_interval == 0
@@ -107,7 +160,7 @@ class SyncNetTrainer(_BaseTrainer):
             if (val_iter is not None
                     and self.global_step % tcfg.syncnet_eval_interval == 0):
                 last = self.evaluate(val_iter, eval_batches)
-                self.log(f"[syncnet eval @{self.global_step}] {last}")
+                self.metrics_logger.log(self.global_step, last, prefix="eval")
         self.log(f"[syncnet] avg train loss {running / max(seen, 1):.4f}")
         return last or {"loss": running / max(seen, 1)}
 
@@ -133,7 +186,7 @@ class SyncNetTrainer(_BaseTrainer):
 
     def load(self, path: str, reset_optimizer: bool = False,
              overwrite_global_states: bool = True):
-        restored = ckpt_lib.load_orbax(path)
+        restored = self._restore(path, self.state, reset_optimizer)
         self.state = self.state.replace(
             params=restored["params"], batch_stats=restored["batch_stats"]
         )
@@ -205,18 +258,22 @@ class Wav2LipTrainer(_BaseTrainer):
     def fit(self, train_iter: Iterator, val_iter: Optional[Iterator],
             checkpoint_dir: str, max_steps: int,
             eval_batches: Optional[int] = None,
-            dump_samples: bool = False) -> Dict[str, float]:
+            dump_samples: bool = False,
+            steps_per_epoch: Optional[int] = None) -> Dict[str, float]:
         tcfg = self.cfg.train
         if eval_batches is None:
             eval_batches = (tcfg.eval_steps_gan if self.gan
                             else tcfg.eval_steps_wav2lip)
         os.makedirs(checkpoint_dir, exist_ok=True)
+        self._open_metrics(checkpoint_dir)
         last = {}
         t0 = time.time()
         while self.global_step < max_steps:
             batch = next(train_iter)
             metrics, g = self._step(batch)
             self.global_step += 1
+            self._tick_epoch(steps_per_epoch)
+            self._log_train(metrics)
             if (self.global_step == 1
                     or self.global_step % tcfg.checkpoint_interval == 0
                     or self.global_step == max_steps):
@@ -227,7 +284,7 @@ class Wav2LipTrainer(_BaseTrainer):
             if (val_iter is not None
                     and self.global_step % tcfg.eval_interval == 0):
                 last = self.evaluate(val_iter, eval_batches)
-                self.log(f"[eval @{self.global_step}] {last}")
+                self.metrics_logger.log(self.global_step, last, prefix="eval")
                 # curriculum trigger (wav2lip_train.py:249-254)
                 if last["sync"] < tcfg.sync_loss_curriculum_threshold:
                     self.syncnet_wt = self.wt_after_trigger
@@ -277,7 +334,7 @@ class Wav2LipTrainer(_BaseTrainer):
 
     def load(self, path: str, reset_optimizer: bool = False,
              overwrite_global_states: bool = True):
-        restored = ckpt_lib.load_orbax(path)
+        restored = self._restore(path, self.state, reset_optimizer)
         self.state = self.state.replace(
             params=restored["params"], batch_stats=restored["batch_stats"]
         )
@@ -288,7 +345,7 @@ class Wav2LipTrainer(_BaseTrainer):
             self.global_epoch = int(restored["global_epoch"])
 
     def load_disc(self, path: str, reset_optimizer: bool = False):
-        restored = ckpt_lib.load_orbax(path)
+        restored = self._restore(path, self.disc_state, reset_optimizer)
         self.disc_state = self.disc_state.replace(params=restored["params"])
         if not reset_optimizer and restored.get("opt_state") is not None:
             self.disc_state = self.disc_state.replace(
