@@ -113,6 +113,21 @@ class InferConfig:
     nosmooth: bool = False
     smooth_window: int = 5  # bbox temporal smoothing T (inference.py:102)
     img_size: int = 96
+    # -- TPU-native performance knobs (no reference equivalent) --
+    # intermediate video codec: "mjpeg" = direct MJPG-AVI writer (fastest on
+    # one core), or any cv2 fourcc ("DIVX" for reference parity, "mp4v", ...)
+    codec: str = "mjpeg"
+    jpeg_quality: int = 90
+    # generator compute dtype on device; bfloat16 is TPU-native and visually
+    # indistinguishable after the *255 uint8 quantization ("float32" opts out)
+    compute_dtype: str = "bfloat16"
+    # concurrent host<->device copy streams per batch: the link is per-stream
+    # windowed (1 stream ~25 MB/s here, 4 streams >1 GB/s aggregate)
+    transfer_streams: int = 4
+    # frames are buffered in RAM only while the clip fits this budget (and
+    # always when detection/static/cycling needs random access); above it the
+    # pipeline streams the decode and frees frames after compositing
+    max_buffer_gb: float = 4.0
 
 
 @dataclass(frozen=True)

@@ -31,6 +31,7 @@ from wav2lip_tpu.models.s3fd import S3FD
 from wav2lip_tpu.ops.anchors import decode_all_scales
 from wav2lip_tpu.ops.nms import batched_nms
 from wav2lip_tpu.utils.cache import enable_compile_cache
+from wav2lip_tpu.utils.transfer import put_sharded
 
 
 class FaceDetectionPipeline:
@@ -47,21 +48,31 @@ class FaceDetectionPipeline:
         cfg: DetectConfig = DetectConfig(),
         batch_size: int = 16,
         dtype=jnp.float32,
+        transfer_streams: int = 4,
     ):
         enable_compile_cache()
         self.variables = variables
         self.cfg = cfg
         self.batch_size = batch_size
         self.dtype = dtype
+        self.streams = max(1, transfer_streams)
         self.model = S3FD()
         self._jit_detect = jax.jit(self._detect_fn)
 
-    def _detect_fn(self, images_bgr: jnp.ndarray):
-        """(B, H, W, 3) float32 BGR → (boxes (B,K,4), scores (B,K), num (B,))."""
+    def _detect_fn(self, image_parts):
+        """Batch-axis shards of (B, H, W, 3) uint8 BGR →
+        (boxes (B,K,4), scores (B,K), num (B,)).
+
+        Frames ship to the device as uint8 (4x less tunnel/PCIe traffic than
+        the float32 the reference moves) over concurrent copy streams
+        (utils.transfer); the reassembly, BGR→RGB flip, mean subtraction and
+        float cast run in-graph (detect.py:59 semantics)."""
         cfg = self.cfg
-        x = images_bgr[..., ::-1]  # BGR → RGB (api.py:65)
+        images_bgr = (image_parts[0] if len(image_parts) == 1
+                      else jnp.concatenate(image_parts, axis=0))
+        x = images_bgr[..., ::-1].astype(self.dtype)  # BGR → RGB (api.py:65)
         mean = jnp.asarray(cfg.mean_bgr, self.dtype)
-        x = (x - mean).astype(self.dtype)
+        x = x - mean
 
         heads = self.model.apply(self.variables, x)
         scores, boxes = decode_all_scales(heads, cfg.variances)
@@ -92,13 +103,14 @@ class FaceDetectionPipeline:
         n = len(frames_bgr)
         results: List[List[Tuple]] = []
         for i in range(0, n, self.batch_size):
-            chunk = np.asarray(frames_bgr[i : i + self.batch_size], np.float32)
+            chunk = np.asarray(frames_bgr[i : i + self.batch_size], np.uint8)
             pad = self.batch_size - len(chunk)
             if pad:
                 chunk = np.concatenate(
-                    [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)]
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], np.uint8)]
                 )
-            boxes, scores, num = self._jit_detect(chunk)
+            parts = tuple(put_sharded(chunk, self.streams))
+            boxes, scores, num = self._jit_detect(parts)
             boxes, scores, num = map(np.asarray, (boxes, scores, num))
             for j in range(min(self.batch_size, n - i)):
                 k = int(num[j])

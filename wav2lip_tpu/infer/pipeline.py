@@ -5,16 +5,27 @@ spectrogram → per-frame mel windows → face boxes (S3FD, fixed ``--box``, or
 static first-frame) → batched generator forward → composite the generated
 mouth patch back into each full frame → encode + mux audio.
 
-TPU-first deltas from the reference:
+TPU-first deltas from the reference (which runs every stage serially on the
+host, inference.py:249-272):
+
+* three-stage host/device pipeline — the host decode+prep loop, the device
+  dispatch (upload → generator → fetch), and the composite+encode loop run in
+  separate threads connected by bounded queues, so device transfers and
+  compute hide behind host pixel work (and vice versa);
 * fixed generator batch shape — the last partial batch is padded, not
-  re-traced (the reference re-runs Python per variable batch);
-* face detection is the batched, fully-on-device pipeline from
-  :mod:`wav2lip_tpu.detect` instead of a per-anchor host loop with an
-  OOM-halving retry ladder;
-* crop/mask/normalize for each batch runs on device inside the same jit as
-  the generator forward, so the host only ships uint8 face crops;
-* host-side compositing overlaps device compute via a one-batch pipeline
-  (the host prepares batch N+1 and composites batch N-1 while batch N runs).
+  re-traced;
+* crop/mask/normalize and the uint8 conversion fuse into the generator's XLA
+  program; only uint8 face crops and mel windows cross the host↔device link
+  (full frames never do — at 96×96 that is ~27 KB/frame instead of ~6 MB);
+* bfloat16 generator compute by default (``infer.compute_dtype``) — TPU-native
+  and invisible after the *255 uint8 quantization;
+* static mode uploads the single face crop once and broadcasts on device;
+* streaming decode: when boxes are known without random access (fixed
+  ``--box`` on a long clip) frames are decoded as needed and freed after
+  compositing instead of materializing the whole clip in RAM;
+* the intermediate video is MJPG-AVI written directly (io.video.MJPEGWriter)
+  — one baseline JPEG per frame beats cv2's DIVX/mp4v encoders on a single
+  core; set ``infer.codec="DIVX"`` for bit-identical reference behavior.
 
 Behavioral parity preserved: pads/box/static/resize_factor/rotate/crop/
 nosmooth flags, bbox smoothing window of 5, mel NaN guard, frame truncation
@@ -24,6 +35,9 @@ to the chunk count, and cyclic frame reuse ``i % len(frames)``.
 from __future__ import annotations
 
 import os
+import queue
+import threading
+import warnings
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
@@ -37,16 +51,21 @@ from wav2lip_tpu.config import Config, DEFAULT_CONFIG
 from wav2lip_tpu.data.windows import mel_chunk_starts, slice_mel_chunks, smooth_boxes
 from wav2lip_tpu.detect import FaceDetectionPipeline
 from wav2lip_tpu.io.video import (
-    VideoFrameWriter,
+    VideoFrameReader,
     extract_audio,
+    has_ffmpeg,
+    make_frame_writer,
     mux_audio,
-    read_video_frames,
 )
 from wav2lip_tpu.models import Wav2LipGenerator
 from wav2lip_tpu.utils.cache import enable_compile_cache
 from wav2lip_tpu.utils.profiling import StageTimer
+from wav2lip_tpu.utils.transfer import fetch_concat, put_sharded, split_sizes
 
 IMAGE_EXTS = (".jpg", ".jpeg", ".png")
+
+_QUEUE_DEPTH = 2          # batches in flight per pipeline stage
+_QUEUE_POLL_S = 0.25      # poll interval so worker errors propagate promptly
 
 
 class FaceNotDetectedError(ValueError):
@@ -61,10 +80,13 @@ class VideoTooShortError(ValueError):
 
 @dataclass
 class FrameCrop:
-    """Per output frame: source frame index and face box (y1, y2, x1, x2)."""
+    """Per output frame: the source frame, its face box (y1, y2, x1, x2) and
+    whether this output may paste into the source frame in place (it owns the
+    last/only use)."""
 
-    frame_idx: int
+    frame: Optional[np.ndarray]  # None = static mode (writer reuses a canvas)
     coords: Tuple[int, int, int, int]
+    owns_frame: bool
 
 
 class LipSyncPipeline:
@@ -76,38 +98,64 @@ class LipSyncPipeline:
         batch_size: Optional[int] = None,
     ):
         enable_compile_cache()
-        self.vars = generator_vars
-        self.detector = detector
         self.cfg = config
+        self.detector = detector
         self.batch_size = batch_size or config.infer.wav2lip_batch_size
         self.img_size = config.infer.img_size
         self.mel = MelFrontend(config.audio)
         self.model = Wav2LipGenerator()
+        self._streams = max(1, config.infer.transfer_streams)
+        self.dtype = jnp.dtype(config.infer.compute_dtype)
+        if self.dtype == jnp.float32:
+            self.vars = generator_vars
+        else:
+            self.vars = jax.tree.map(
+                lambda x: x.astype(self.dtype)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                generator_vars,
+            )
         self._jit_generate = jax.jit(self._generate_fn)
         self.timings = StageTimer()  # per-stage wall time of the last run
 
     # -- device step ---------------------------------------------------------
 
-    def _generate_fn(self, faces_u8: jnp.ndarray, mels: jnp.ndarray):
-        """(B, 96, 96, 3) uint8 face crops + (B, 80, 16) mel windows →
-        (B, 96, 96, 3) uint8 generated crops.
+    def _generate_fn(self, mel_parts, face_parts):
+        """Batch-axis shards of (B, 80, 16) mel windows + (B or 1, 96, 96, 3)
+        uint8 face crops → batch-axis shards of (B, 96, 96, 3) uint8
+        generated crops.
 
-        Masking the lower half, the 6-channel concat, /255 normalization
-        (reference inference.py:136-140) and the *255 output conversion all
-        fuse into the generator's XLA program.
+        Inputs/outputs are sharded so the host moves them over concurrent
+        copy streams (utils.transfer); reassembly is in-graph. Masking the
+        lower half, the 6-channel concat, /255 normalization (reference
+        inference.py:136-140) and the *255 output conversion all fuse into
+        the generator's XLA program. A leading face dim of 1 with B mel
+        windows broadcasts the (static-mode) face on device so the crop is
+        uploaded exactly once.
         """
-        faces = faces_u8.astype(jnp.float32) / 255.0
+        mels = (mel_parts[0] if len(mel_parts) == 1
+                else jnp.concatenate(mel_parts, axis=0))
+        faces_u8 = (face_parts[0] if len(face_parts) == 1
+                    else jnp.concatenate(face_parts, axis=0))
+        B = mels.shape[0]
+        faces = faces_u8.astype(self.dtype) / 255.0
+        if faces.shape[0] == 1 and B != 1:
+            faces = jnp.broadcast_to(faces, (B,) + faces.shape[1:])
         h = self.img_size // 2
         masked = faces.at[:, h:, :, :].set(0.0)
         x = jnp.concatenate([masked, faces], axis=-1)
-        mel_in = mels[..., None]  # (B, 80, 16, 1)
+        mel_in = mels[..., None].astype(self.dtype)  # (B, 80, 16, 1)
         out = self.model.apply(self.vars, mel_in, x)
-        return jnp.clip(out * 255.0, 0, 255).astype(jnp.uint8)
+        out_u8 = jnp.clip(
+            out.astype(jnp.float32) * 255.0, 0, 255
+        ).astype(jnp.uint8)
+        bounds = np.cumsum(split_sizes(B, self._streams))[:-1]
+        return tuple(jnp.split(out_u8, bounds, axis=0))
 
     # -- face localization ----------------------------------------------------
 
     def _face_boxes(
-        self, frames: List[np.ndarray], static: bool
+        self, frames: Sequence[np.ndarray], static: bool
     ) -> List[Tuple[int, int, int, int]]:
         """Per-frame (y1, y2, x1, x2) after pads and temporal smoothing
         (reference inference.py:68-106)."""
@@ -171,28 +219,9 @@ class LipSyncPipeline:
         icfg = self.cfg.infer
         static = icfg.static
         self.timings = StageTimer()
-
-        # 1. frame ingest (reference inference.py:182-213)
-        with self.timings("decode"):
-            if face_path.lower().endswith(IMAGE_EXTS):
-                img = cv2.imread(face_path)
-                if img is None:
-                    raise ValueError(f"could not read image: {face_path}")
-                frames = [img]
-                static = True
-                video_fps = fps or icfg.fps
-            else:
-                frames, video_fps = read_video_frames(
-                    face_path,
-                    resize_factor=icfg.resize_factor,
-                    rotate=icfg.rotate,
-                    crop=icfg.crop,
-                )
-                if fps is not None:
-                    video_fps = fps
-
-        # 2. audio → mel (+ NaN guard for TTS audio, inference.py:228-229)
         os.makedirs(temp_dir, exist_ok=True)
+
+        # 1. audio → mel (+ NaN guard for TTS audio, inference.py:228-229)
         with self.timings("audio"):
             wav_path = extract_audio(
                 audio_path, os.path.join(temp_dir, "temp.wav"),
@@ -206,79 +235,316 @@ class LipSyncPipeline:
                 "noise to the wav file and try again"
             )
 
+        # 2. open the face source (reference inference.py:182-213)
+        reader: Optional[VideoFrameReader] = None
+        first_frame: np.ndarray
+        if face_path.lower().endswith(IMAGE_EXTS):
+            img = cv2.imread(face_path)
+            if img is None:
+                raise ValueError(f"could not read image: {face_path}")
+            first_frame = img
+            static = True
+            video_fps = fps or icfg.fps
+            hinted_count = 1
+        else:
+            reader = VideoFrameReader(
+                face_path,
+                resize_factor=icfg.resize_factor,
+                rotate=icfg.rotate,
+                crop=icfg.crop,
+            )
+            video_fps = fps if fps is not None else reader.fps
+            hinted_count = reader.approx_frame_count
+            with self.timings("decode"):
+                head = reader.read()
+            if head is None:
+                reader.close()
+                raise ValueError(f"no frames decoded from {face_path}")
+            first_frame = head
+
         # 3. chunk plan: one mel window per output frame
         starts = mel_chunk_starts(
             mel.shape[1], video_fps, self.cfg.model.mel_step_size, tail=tail
         )
-        mel_chunks = slice_mel_chunks(mel, starts, self.cfg.model.mel_step_size)
-        num_out = len(mel_chunks)
-        if skip_if_short and not static and len(frames) < num_out:
-            raise VideoTooShortError(
-                f"{face_path}: {len(frames)} frames < {num_out} mel chunks"
+        mel_chunks = slice_mel_chunks(
+            mel, starts, self.cfg.model.mel_step_size
+        ).astype(np.float32)
+        num_out = len(starts)
+
+        # 4. ingest strategy: stream (decode as needed, free after composite)
+        #    when boxes need no random access and the clip is long enough;
+        #    materialize otherwise — detection, static, cycling, skip-check
+        #    and unreliable headers all need the full frame list (reference
+        #    behavior, inference.py:190-213).
+        needs_random_access = (
+            reader is None
+            or static
+            or skip_if_short
+            or icfg.box[0] == -1      # detector path
+            or hinted_count <= 0      # header lied; cannot plan
+            or num_out > hinted_count  # short clip: frames will cycle
+        )
+
+        try:
+            if needs_random_access:
+                frames = [first_frame]
+                if reader is not None:
+                    with self.timings("decode"):
+                        frames.extend(reader)
+                est_gb = len(frames) * first_frame.nbytes / 1e9
+                if est_gb > icfg.max_buffer_gb:
+                    warnings.warn(
+                        f"buffering {est_gb:.1f} GB of frames (needs random "
+                        f"access: detection/static/cycling); raise "
+                        f"infer.max_buffer_gb to silence"
+                    )
+                if skip_if_short and not static and len(frames) < num_out:
+                    raise VideoTooShortError(
+                        f"{face_path}: {len(frames)} frames < {num_out} "
+                        f"mel chunks"
+                    )
+                if not static:
+                    frames = frames[:num_out]
+                with self.timings("detect"):
+                    boxes = self._face_boxes(frames, static)
+                self._static_frame = frames[0] if static else None
+                source = self._materialized_source(frames, boxes, static,
+                                                   num_out)
+            else:
+                y1, y2, x1, x2 = icfg.box
+                source = self._streaming_source(
+                    reader, first_frame, (y1, y2, x1, x2), num_out
+                )
+
+            return self._execute(
+                source, mel_chunks, num_out, static, first_frame.shape[:2],
+                video_fps, wav_path, outfile, temp_dir,
             )
-        frames = frames[:num_out] if not static else frames
+        finally:
+            if reader is not None:
+                reader.close()
 
-        # 4. face boxes once per source frame
-        with self.timings("detect"):
-            boxes = self._face_boxes(frames, static)
+    # -- frame sources ----------------------------------------------------------
 
-        crops: List[FrameCrop] = [
-            FrameCrop(0 if static else i % len(frames),
-                      boxes[0 if static else i % len(frames)])
-            for i in range(num_out)
-        ]
+    def _materialized_source(self, frames, boxes, static: bool, num_out: int):
+        """Yield FrameCrops from an in-RAM frame list (cyclic reuse
+        ``i % len(frames)``, inference.py:121). In static mode the writer
+        composites onto one canvas, so no frame is attached."""
+        def gen():
+            n = len(frames)
+            owns = num_out <= n  # every source frame used at most once
+            for i in range(num_out):
+                if static:
+                    yield FrameCrop(None, boxes[0], False)
+                else:
+                    idx = i % n
+                    yield FrameCrop(frames[idx], boxes[idx], owns)
+        return gen()
 
-        # 5. batched generate + composite, one-batch host/device pipeline
-        frame_h, frame_w = frames[0].shape[:2]
-        tmp_video = os.path.join(temp_dir, "result.avi")
-        written = 0
-        with VideoFrameWriter(tmp_video, video_fps, (frame_h, frame_w),
-                              fourcc="DIVX") as writer:
-            pending = None  # (device_future, crop_metadata)
-            for lo in range(0, num_out, self.batch_size):
-                hi = min(lo + self.batch_size, num_out)
-                batch_crops = crops[lo:hi]
+    def _streaming_source(self, reader, first_frame, coords, num_out: int):
+        """Yield FrameCrops straight off the decoder; each frame is owned by
+        its output and freed after compositing."""
+        def gen():
+            frame = first_frame
+            for i in range(num_out):
+                if frame is None:
+                    warnings.warn(
+                        f"video ended after {i} frames but {num_out} outputs "
+                        f"were planned (container frame-count hint was "
+                        f"wrong); output truncated"
+                    )
+                    return
+                yield FrameCrop(frame, coords, True)
+                if i + 1 < num_out:
+                    with self.timings("decode"):
+                        frame = reader.read()
+        return gen()
+
+    # -- pipelined execution -----------------------------------------------------
+
+    def _execute(self, source, mel_chunks, num_out: int, static: bool,
+                 frame_hw, video_fps, wav_path, outfile, temp_dir) -> str:
+        icfg = self.cfg.infer
+        size = self.img_size
+        mux = has_ffmpeg()
+        # without ffmpeg the intermediate IS the deliverable: write it at the
+        # final path and skip a whole-file copy
+        tmp_video = os.path.join(temp_dir, "result.avi") if mux else outfile
+        os.makedirs(os.path.dirname(os.path.abspath(tmp_video)), exist_ok=True)
+
+        prep_q: "queue.Queue" = queue.Queue(maxsize=_QUEUE_DEPTH)
+        pred_q: "queue.Queue" = queue.Queue(maxsize=_QUEUE_DEPTH)
+        errors: List[BaseException] = []
+        written = [0]
+
+        # static mode: upload the face crop once, reuse the device array
+        static_face_dev = None
+        static_canvas = None
+
+        def _put(q, item):
+            while not errors:
+                try:
+                    q.put(item, timeout=_QUEUE_POLL_S)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def _get(q):
+            while not errors:
+                try:
+                    return q.get(timeout=_QUEUE_POLL_S)
+                except queue.Empty:
+                    continue
+            return None
+
+        def device_worker():
+            try:
+                while True:
+                    item = _get(prep_q)
+                    if item is None:
+                        break
+                    faces, mels, crops = item
+                    if not crops:  # sentinel: pass through without running
+                        _put(pred_q, (None, []))
+                        break
+                    with self.timings("generate"):
+                        # concurrent copy streams up, in-graph reassembly,
+                        # sharded outputs fetched concurrently back
+                        mel_parts = tuple(put_sharded(mels, self._streams))
+                        if isinstance(faces, np.ndarray):
+                            face_parts = tuple(
+                                put_sharded(faces, self._streams)
+                            )
+                        else:  # static mode: already-device (1,...) crop
+                            face_parts = (faces,)
+                        pred_parts = self._jit_generate(mel_parts, face_parts)
+                        preds = fetch_concat(pred_parts)
+                    if not _put(pred_q, (preds, crops)):
+                        break
+            except BaseException as e:  # noqa: BLE001 — repropagated in main
+                errors.append(e)
+                try:
+                    pred_q.put_nowait((None, []))
+                except queue.Full:
+                    pass
+
+        def writer_worker():
+            nonlocal static_canvas
+            try:
+                writer = make_frame_writer(
+                    tmp_video, video_fps, frame_hw,
+                    codec=icfg.codec, jpeg_quality=icfg.jpeg_quality,
+                )
+                try:
+                    while True:
+                        item = _get(pred_q)
+                        if item is None:
+                            break
+                        preds, crops = item
+                        if not crops:
+                            break
+                        for j, c in enumerate(crops):
+                            y1, y2, x1, x2 = c.coords
+                            with self.timings("composite"):
+                                patch = cv2.resize(
+                                    preds[j], (x2 - x1, y2 - y1)
+                                )
+                                if c.frame is None:  # static: one canvas,
+                                    if static_canvas is None:  # same coords
+                                        static_canvas = (
+                                            self._static_frame.copy()
+                                        )
+                                    static_canvas[y1:y2, x1:x2] = patch
+                                    out = static_canvas
+                                elif c.owns_frame:
+                                    c.frame[y1:y2, x1:x2] = patch
+                                    out = c.frame
+                                else:
+                                    out = c.frame.copy()
+                                    out[y1:y2, x1:x2] = patch
+                            with self.timings("encode"):
+                                writer.write(out)
+                            written[0] += 1
+                finally:
+                    writer.close()
+            except BaseException as e:  # noqa: BLE001 — repropagated in main
+                errors.append(e)
+
+        dev_t = threading.Thread(target=device_worker, daemon=True)
+        wri_t = threading.Thread(target=writer_worker, daemon=True)
+        dev_t.start()
+        wri_t.start()
+
+        # main thread: decode (inside `source`) + crop/resize prep
+        produced = 0
+        src_iter = iter(source)
+        stopped_early = False
+        try:
+            while produced < num_out and not errors:
+                n = min(self.batch_size, num_out - produced)
+                crops: List[FrameCrop] = []
                 with self.timings("prep"):
-                    face_batch = np.zeros(
-                        (self.batch_size, self.img_size, self.img_size, 3),
-                        np.uint8,
-                    )
-                    for j, c in enumerate(batch_crops):
-                        y1, y2, x1, x2 = c.coords
-                        face = frames[c.frame_idx][y1:y2, x1:x2]
-                        face_batch[j] = cv2.resize(
-                            face, (self.img_size, self.img_size)
-                        )
+                    face_batch = None
+                    for j in range(n):
+                        try:
+                            c = next(src_iter)
+                        except StopIteration:
+                            stopped_early = True
+                            break
+                        crops.append(c)
+                        if c.frame is not None:
+                            if face_batch is None:
+                                face_batch = np.zeros(
+                                    (self.batch_size, size, size, 3), np.uint8
+                                )
+                            y1, y2, x1, x2 = c.coords
+                            face_batch[j] = cv2.resize(
+                                c.frame[y1:y2, x1:x2], (size, size)
+                            )
+                    if not crops:
+                        break
+                    if face_batch is None:  # static: single uploaded crop
+                        if static_face_dev is None:
+                            y1, y2, x1, x2 = crops[0].coords
+                            face = cv2.resize(
+                                self._static_frame[y1:y2, x1:x2], (size, size)
+                            )
+                            static_face_dev = jax.device_put(face[None])
+                        faces_in = static_face_dev
+                    else:
+                        faces_in = face_batch
                     mel_batch = np.zeros(
-                        (self.batch_size, mel.shape[0],
-                         self.cfg.model.mel_step_size),
-                        np.float32,
+                        (self.batch_size, mel_chunks.shape[1],
+                         mel_chunks.shape[2]), np.float32,
                     )
-                    mel_batch[: hi - lo] = mel_chunks[lo:hi]
+                    mel_batch[: len(crops)] = (
+                        mel_chunks[produced : produced + len(crops)]
+                    )
+                if not _put(prep_q, (faces_in, mel_batch, crops)):
+                    break
+                produced += len(crops)
+                if stopped_early:
+                    break
+            # sentinel: empty crops flows through both workers
+            _put(prep_q, (None, None, []))
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+        dev_t.join()
+        wri_t.join()
+        if errors:
+            raise errors[0]
+        assert written[0] == produced, (written[0], produced)
 
-                with self.timings("generate_dispatch"):
-                    preds = self._jit_generate(face_batch, mel_batch)
-
-                if pending is not None:
-                    with self.timings("composite"):
-                        written += self._composite(writer, frames, *pending)
-                pending = (preds, batch_crops)
-            if pending is not None:
-                with self.timings("composite"):
-                    written += self._composite(writer, frames, *pending)
-
-        assert written == num_out, (written, num_out)
-
-        # 6. mux (reference inference.py:276-277)
+        # mux (reference inference.py:276-277)
         with self.timings("mux"):
-            return mux_audio(tmp_video, wav_path, outfile)
+            if mux:
+                return mux_audio(tmp_video, wav_path, outfile, move=True)
+            print(
+                f"[wav2lip_tpu] ffmpeg not found: wrote video without audio "
+                f"track to {outfile}"
+            )
+            return outfile
 
-    def _composite(self, writer, frames, preds, batch_crops) -> int:
-        preds = np.asarray(preds)  # sync point: device → host
-        for j, c in enumerate(batch_crops):
-            y1, y2, x1, x2 = c.coords
-            frame = frames[c.frame_idx].copy()
-            patch = cv2.resize(preds[j], (x2 - x1, y2 - y1))
-            frame[y1:y2, x1:x2] = patch
-            writer.write(frame)
-        return len(batch_crops)
+    # _static_frame is set in run() before _execute for static mode
+    _static_frame: Optional[np.ndarray] = None
