@@ -1,0 +1,110 @@
+"""Host media I/O tests: the direct MJPG-AVI writer (container correctness,
+cv2/ffmpeg readability), the streaming reader's ingest transforms, and the
+mux fallback semantics."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from fixtures import make_video, synth_face_frame
+from wav2lip_tpu.io import (
+    MJPEGWriter,
+    VideoFrameReader,
+    make_frame_writer,
+    mux_audio,
+    read_video_frames,
+)
+
+
+class TestMJPEGWriter:
+    def test_roundtrip_via_cv2(self, tmp_path):
+        frames = [synth_face_frame(128, 72, t) for t in range(9)]
+        p = str(tmp_path / "m.avi")
+        with MJPEGWriter(p, 25.0, (72, 128), quality=95) as w:
+            for f in frames:
+                w.write(f)
+        cap = cv2.VideoCapture(p)
+        assert cap.isOpened()
+        assert cap.get(cv2.CAP_PROP_FPS) == pytest.approx(25.0)
+        assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 9
+        got = []
+        while True:
+            ok, f = cap.read()
+            if not ok:
+                break
+            got.append(f)
+        assert len(got) == 9
+        for a, b in zip(got, frames):
+            assert a.shape == b.shape
+            assert np.abs(a.astype(int) - b.astype(int)).mean() < 4.0
+
+    def test_fractional_fps(self, tmp_path):
+        p = str(tmp_path / "f.avi")
+        with MJPEGWriter(p, 29.97, (32, 32)) as w:
+            w.write(np.zeros((32, 32, 3), np.uint8))
+        cap = cv2.VideoCapture(p)
+        assert cap.get(cv2.CAP_PROP_FPS) == pytest.approx(29.97, abs=0.01)
+
+    def test_odd_chunk_padding(self, tmp_path):
+        """RIFF chunks must be word-aligned; odd-size JPEGs get a pad byte
+        and the index offsets stay consistent."""
+        p = str(tmp_path / "odd.avi")
+        w = MJPEGWriter(p, 25.0, (16, 16))
+        w.write_encoded(b"\xff\xd8" + b"a" * 33 + b"\xff\xd9")  # odd size
+        w.write_encoded(b"\xff\xd8" + b"b" * 34 + b"\xff\xd9")
+        w.close()
+        data = open(p, "rb").read()
+        assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+        # RIFF size field spans the whole file
+        import struct
+        assert struct.unpack("<I", data[4:8])[0] == len(data) - 8
+        assert data.count(b"00dc") == 2 + 2  # movi chunks + idx1 entries
+
+    def test_factory(self, tmp_path):
+        w = make_frame_writer(str(tmp_path / "a.avi"), 25.0, (16, 16),
+                              codec="mjpeg")
+        assert isinstance(w, MJPEGWriter)
+        w.write(np.zeros((16, 16, 3), np.uint8))
+        w.close()
+        w2 = make_frame_writer(str(tmp_path / "b.avi"), 25.0, (16, 16),
+                               codec="DIVX")
+        w2.write(np.zeros((16, 16, 3), np.uint8))
+        w2.close()
+        assert os.path.getsize(str(tmp_path / "b.avi")) > 0
+
+
+class TestVideoFrameReader:
+    def test_streaming_matches_materialized(self, tmp_path):
+        v = make_video(str(tmp_path / "v.mp4"), num_frames=12, w=64, h=48)
+        with VideoFrameReader(v) as r:
+            streamed = list(r)
+            assert r.fps == pytest.approx(25.0)
+            assert r.approx_frame_count == 12
+        frames, fps = read_video_frames(v)
+        assert len(streamed) == len(frames) == 12
+        np.testing.assert_array_equal(streamed[3], frames[3])
+
+    def test_ingest_transforms(self, tmp_path):
+        """resize_factor → rotate → crop, in the reference's order
+        (inference.py:190-213)."""
+        v = make_video(str(tmp_path / "v.mp4"), num_frames=3, w=64, h=48)
+        with VideoFrameReader(v, resize_factor=2, rotate=True,
+                              crop=(0, 10, 2, -1)) as r:
+            f = r.read()
+        # 64x48 → 32x24 → rotate → 24 wide, 32 high → crop rows 0:10 cols 2:
+        assert f.shape == (10, 22, 3)
+
+
+class TestMux:
+    def test_move_semantics_without_ffmpeg(self, tmp_path, monkeypatch):
+        import wav2lip_tpu.io.video as vid
+
+        monkeypatch.setattr(vid, "has_ffmpeg", lambda: False)
+        src = tmp_path / "in.avi"
+        src.write_bytes(b"RIFFxxxx")
+        out = tmp_path / "out.mp4"
+        got = mux_audio(str(src), "unused.wav", str(out), move=True)
+        assert got == str(out)
+        assert out.exists() and not src.exists()

@@ -287,6 +287,29 @@ class TestShardBatch:
             out = shard_batch(mesh, np.zeros((8, 4), np.float32))
         assert out.sharding.is_fully_replicated is False
 
+    def test_global_batch_from_local(self, mesh):
+        """Multi-host input sharding entry point: process-local data →
+        data-axis-sharded global array (single-process it must equal the
+        plain shard)."""
+        from wav2lip_tpu.parallel import global_batch_from_local
+
+        x = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+        out = global_batch_from_local(mesh, {"x": x})["x"]
+        assert out.shape == (8, 3)
+        assert not out.sharding.is_fully_replicated
+        np.testing.assert_array_equal(np.asarray(out), x)
+
+    def test_local_batch_size(self, monkeypatch):
+        from wav2lip_tpu.parallel import local_batch_size
+        import wav2lip_tpu.parallel.distributed as dist
+
+        assert local_batch_size(16) == 16  # single process
+        # fake a 4-process world for the slicing arithmetic
+        monkeypatch.setattr(dist.jax, "process_count", lambda: 4)
+        assert local_batch_size(16) == 4
+        with pytest.raises(ValueError):
+            local_batch_size(6)
+
 
 class TestCurriculum:
     def test_trigger_semantics(self):

@@ -65,6 +65,16 @@ def build_parser():
     r.add_argument("--wav2lip_batch_size", type=int, default=128)
     r.add_argument("--face_det_batch_size", type=int, default=16)
 
+    f = sub.add_parser("fid", help="FID between generated and real videos "
+                                   "(reference evaluation/README.md:52-53 "
+                                   "uses external pytorch-fid)")
+    f.add_argument("--generated_dir", required=True)
+    f.add_argument("--real_dir", required=True)
+    f.add_argument("--inception_checkpoint", required=True,
+                   help="pytorch-fid pt_inception-2015-12-05 .pth")
+    f.add_argument("--max_frames_per_video", type=int, default=None)
+    f.add_argument("--batch_size", type=int, default=32)
+
     s = sub.add_parser("score", help="LSE-D/LSE-C over generated videos")
     s.add_argument("--videos_dir", required=True)
     s.add_argument("--syncnet_checkpoint", required=True)
@@ -112,12 +122,19 @@ def cmd_generate(args) -> int:
     ok = skipped = 0
     for idx, (audio_id, video_id) in enumerate(pairs):
         out = join(args.results_dir, f"{idx}.mp4")
+        # audio normally comes out of the source video via ffmpeg
+        # (gen_videos_from_filelist.py:167); a precomputed sibling .wav is
+        # preferred when present (and required without ffmpeg)
+        apath = join(args.data_root, audio_id + args.ext)
+        wav_alt = join(args.data_root, audio_id + ".wav")
+        if os.path.exists(wav_alt):
+            apath = wav_alt
         try:
             # eval-harness chunking deltas: drop the tail chunk + skip short
             # videos (gen_videos_from_filelist.py:178-183,195-196)
             pipeline.run(
                 join(args.data_root, video_id + args.ext),
-                join(args.data_root, audio_id + args.ext),
+                apath,
                 out, temp_dir=join(args.results_dir, "temp"),
                 tail="drop", skip_if_short=True,
             )
@@ -250,12 +267,39 @@ def cmd_real(args) -> int:
     return 0
 
 
+def cmd_fid(args) -> int:
+    from wav2lip_tpu.convert.torch_import import load_torch_state_dict
+    from wav2lip_tpu.eval.fid import FIDScorer, import_inception
+
+    def videos_in(d):
+        vids = sorted(glob(join(d, "*.mp4")) + glob(join(d, "*.avi")))
+        if not vids:
+            print(f"no videos in {d}", file=sys.stderr)
+        return vids
+
+    gen_videos = videos_in(args.generated_dir)
+    real_videos = videos_in(args.real_dir)
+    if not gen_videos or not real_videos:
+        return 2
+    variables = import_inception(
+        load_torch_state_dict(args.inception_checkpoint)
+    )
+    scorer = FIDScorer(variables, batch_size=args.batch_size)
+    fid = scorer.score_video_sets(gen_videos, real_videos,
+                                  args.max_frames_per_video)
+    print(f"FID: {fid:.4f} ({len(gen_videos)} generated vs "
+          f"{len(real_videos)} real videos)")
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.cmd == "generate":
         return cmd_generate(args)
     if args.cmd == "real":
         return cmd_real(args)
+    if args.cmd == "fid":
+        return cmd_fid(args)
     return cmd_score(args)
 
 

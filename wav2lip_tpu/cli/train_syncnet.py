@@ -24,6 +24,10 @@ def build_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--trace_dir", default=None,
                    help="capture a jax.profiler device trace here")
+    # multi-host (pod slice) wiring; also settable via W2L_COORDINATOR etc.
+    p.add_argument("--coordinator_address", default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p
 
 
@@ -36,27 +40,39 @@ def main(argv=None) -> int:
         WindowSampler,
         get_video_list,
     )
+    from wav2lip_tpu.parallel import (
+        local_batch_size,
+        maybe_initialize_distributed,
+    )
     from wav2lip_tpu.train.trainers import SyncNetTrainer
     from wav2lip_tpu.utils.profiling import device_trace
 
+    # must precede any jax device use (no-op single-host)
+    maybe_initialize_distributed(
+        args.coordinator_address, args.num_processes, args.process_id
+    )
+    import jax
+
     cfg = DEFAULT_CONFIG
     workers = args.num_workers or cfg.train.num_workers
+    local_bs = local_batch_size(cfg.train.syncnet_batch_size)
+    pidx = jax.process_index()
 
     train_videos = get_video_list(args.data_root, "train", args.filelists_dir)
     train_sampler = WindowSampler(
         train_videos,
-        cfg.audio, cfg.model, seed=args.seed,
+        cfg.audio, cfg.model, seed=args.seed + 1000 * pidx,
     )
     val_sampler = WindowSampler(
         get_video_list(args.data_root, "val", args.filelists_dir),
-        cfg.audio, cfg.model, seed=args.seed + 1,
+        cfg.audio, cfg.model, seed=args.seed + 1 + 1000 * pidx,
     )
     train_loader = PrefetchLoader(
-        train_sampler.sample_syncnet, cfg.train.syncnet_batch_size,
+        train_sampler.sample_syncnet, local_bs,
         num_workers=workers,
     )
     val_loader = PrefetchLoader(
-        val_sampler.sample_syncnet, cfg.train.syncnet_batch_size,
+        val_sampler.sample_syncnet, local_bs,
         num_workers=max(workers // 4, 1),
     )
 

@@ -36,11 +36,25 @@ def build_parser():
     p.add_argument("--dump_samples", action="store_true", default=True)
     p.add_argument("--trace_dir", default=None,
                    help="capture a jax.profiler device trace here")
+    # multi-host (pod slice) wiring; also settable via W2L_COORDINATOR etc.
+    p.add_argument("--coordinator_address", default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    from wav2lip_tpu.parallel import (
+        local_batch_size,
+        maybe_initialize_distributed,
+    )
+
+    # must precede any jax device use (no-op single-host)
+    maybe_initialize_distributed(
+        args.coordinator_address, args.num_processes, args.process_id
+    )
 
     from wav2lip_tpu.config import DEFAULT_CONFIG
     from wav2lip_tpu.convert import import_syncnet
@@ -60,21 +74,28 @@ def main(argv=None) -> int:
         args.syncnet_checkpoint_path, import_syncnet
     )
 
+    import jax
+
+    # per-process slice of the global batch; samplers de-correlate by
+    # process index (DCN input sharding)
+    local_bs = local_batch_size(cfg.train.batch_size)
+    pidx = jax.process_index()
+
     train_videos = get_video_list(args.data_root, "train", args.filelists_dir)
     train_sampler = WindowSampler(
         train_videos,
-        cfg.audio, cfg.model, seed=args.seed,
+        cfg.audio, cfg.model, seed=args.seed + 1000 * pidx,
     )
     val_sampler = WindowSampler(
         get_video_list(args.data_root, "val", args.filelists_dir),
-        cfg.audio, cfg.model, seed=args.seed + 1,
+        cfg.audio, cfg.model, seed=args.seed + 1 + 1000 * pidx,
     )
     train_loader = PrefetchLoader(
-        train_sampler.sample_wav2lip, cfg.train.batch_size,
+        train_sampler.sample_wav2lip, local_bs,
         num_workers=workers,
     )
     val_loader = PrefetchLoader(
-        val_sampler.sample_wav2lip, cfg.train.batch_size,
+        val_sampler.sample_wav2lip, local_bs,
         num_workers=max(workers // 4, 1),
     )
 

@@ -1,6 +1,9 @@
 from wav2lip_tpu.io.video import (
     read_video_frames,
+    MJPEGWriter,
+    VideoFrameReader,
     VideoFrameWriter,
+    make_frame_writer,
     mux_audio,
     extract_audio,
     has_ffmpeg,
@@ -8,7 +11,10 @@ from wav2lip_tpu.io.video import (
 
 __all__ = [
     "read_video_frames",
+    "MJPEGWriter",
+    "VideoFrameReader",
     "VideoFrameWriter",
+    "make_frame_writer",
     "mux_audio",
     "extract_audio",
     "has_ffmpeg",

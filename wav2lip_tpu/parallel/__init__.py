@@ -4,5 +4,18 @@ from wav2lip_tpu.parallel.mesh import (
     batch_sharded,
     shard_batch,
 )
+from wav2lip_tpu.parallel.distributed import (
+    maybe_initialize_distributed,
+    local_batch_size,
+    global_batch_from_local,
+)
 
-__all__ = ["make_mesh", "replicated", "batch_sharded", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "replicated",
+    "batch_sharded",
+    "shard_batch",
+    "maybe_initialize_distributed",
+    "local_batch_size",
+    "global_batch_from_local",
+]

@@ -151,14 +151,21 @@ def make_wav2lip_steps(tx: optax.GradientTransformation):
 
 def make_gan_steps(gen_tx: optax.GradientTransformation,
                    disc_tx: optax.GradientTransformation):
+    """The generator update and the discriminator update are two separately
+    jitted programs chained by a host-side wrapper: the reference also runs
+    them as two sequential optimizer steps (hq_wav2lip_train.py:221-256), the
+    generated batch ``g`` stays on device between the two, and two half-size
+    XLA programs compile far faster than one monolith (the round-1 single
+    program took >10 minutes of cold XLA:CPU compile and timed out the
+    multi-chip dryrun)."""
     gen = Wav2LipGenerator()
     sync = SyncNet()
     disc = QualityDiscriminator()
 
     @functools.partial(jax.jit, static_argnames=("use_sync",))
-    def train_step(gen_state: TrainState, disc_state: TrainState, sync_vars,
-                   batch, syncnet_wt, disc_wt, use_sync: bool):
-        # --- generator update (hq_wav2lip_train.py:221-243) ---
+    def gen_step(gen_state: TrainState, disc_params, sync_vars, batch,
+                 syncnet_wt, disc_wt, use_sync: bool):
+        # generator update (hq_wav2lip_train.py:221-243)
         def gen_loss_fn(params):
             g, new_bs = _apply_train(gen, params, gen_state.batch_stats,
                                      batch["indiv_mels"], batch["x"])
@@ -168,7 +175,7 @@ def make_gan_steps(gen_tx: optax.GradientTransformation,
             else:
                 s = jnp.zeros((), g.dtype)
             # perceptual term: BCE(disc(g), 1) (models/wav2lip.py:163-174)
-            pred = disc.apply({"params": disc_state.params}, g)
+            pred = disc.apply({"params": disc_params}, g)
             percep = bce(pred, jnp.ones_like(pred))
             loss = (syncnet_wt * s + disc_wt * percep
                     + (1.0 - syncnet_wt - disc_wt) * l1)
@@ -185,13 +192,15 @@ def make_gan_steps(gen_tx: optax.GradientTransformation,
             opt_state=opt_state,
             step=gen_state.step + 1,
         )
+        metrics = {"gen_loss": gloss, "l1": l1, "sync": s, "percep": percep}
+        return gen_state, metrics, jax.lax.stop_gradient(g)
 
-        # --- discriminator update on real + detached fake
-        #     (hq_wav2lip_train.py:245-256: two backwards, one step) ---
-        g_detached = jax.lax.stop_gradient(g)
-
+    @jax.jit
+    def disc_step(disc_state: TrainState, gt, g_detached):
+        # discriminator update on real + detached fake
+        # (hq_wav2lip_train.py:245-256: two backwards, one step)
         def disc_loss_fn(params):
-            pred_real = disc.apply({"params": params}, batch["gt"])
+            pred_real = disc.apply({"params": params}, gt)
             real_loss = bce(pred_real, jnp.ones_like(pred_real))
             pred_fake = disc.apply({"params": params}, g_detached)
             fake_loss = bce(pred_fake, jnp.zeros_like(pred_fake))
@@ -207,10 +216,16 @@ def make_gan_steps(gen_tx: optax.GradientTransformation,
             opt_state=dopt_state,
             step=disc_state.step + 1,
         )
+        return disc_state, {"disc_real": real_loss, "disc_fake": fake_loss}
 
-        metrics = {"gen_loss": gloss, "l1": l1, "sync": s, "percep": percep,
-                   "disc_real": real_loss, "disc_fake": fake_loss}
-        return gen_state, disc_state, metrics
+    def train_step(gen_state: TrainState, disc_state: TrainState, sync_vars,
+                   batch, syncnet_wt, disc_wt, use_sync: bool):
+        gen_state, gmetrics, g = gen_step(
+            gen_state, disc_state.params, sync_vars, batch,
+            syncnet_wt, disc_wt, use_sync=use_sync,
+        )
+        disc_state, dmetrics = disc_step(disc_state, batch["gt"], g)
+        return gen_state, disc_state, {**gmetrics, **dmetrics}
 
     @jax.jit
     def eval_step(gen_state: TrainState, disc_state: TrainState, sync_vars,

@@ -29,7 +29,11 @@ from wav2lip_tpu.config import Config, DEFAULT_CONFIG
 from wav2lip_tpu.utils.cache import enable_compile_cache
 from wav2lip_tpu.utils.logging import MetricsLogger
 from wav2lip_tpu.models import Wav2LipGenerator, SyncNet, QualityDiscriminator
-from wav2lip_tpu.parallel import make_mesh, shard_batch
+from wav2lip_tpu.parallel import (
+    global_batch_from_local,
+    make_mesh,
+    shard_batch,
+)
 from wav2lip_tpu.train import checkpoint as ckpt_lib
 from wav2lip_tpu.train.state import TrainState
 from wav2lip_tpu.train.steps import (
@@ -69,6 +73,11 @@ class _BaseTrainer:
         self.global_epoch = 0
 
     def _shard(self, batch):
+        """Single host: place with batch-axis sharding. Multi-host: each
+        process contributes its local slice of the global batch
+        (DCN input sharding, SURVEY.md §2 parallelism table)."""
+        if jax.process_count() > 1:
+            return global_batch_from_local(self.mesh, batch)
         return shard_batch(self.mesh, batch)
 
     def _open_metrics(self, checkpoint_dir: str) -> MetricsLogger:
