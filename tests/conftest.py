@@ -23,12 +23,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the big train-step graphs take minutes to
-# compile on this 1-CPU box; cache them across test runs.
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# Persistent compilation cache: the big train-step graphs take minutes of
+# cold XLA:CPU compile on a 1-core box, so the repo COMMITS the test cache
+# (.test_cache) — a fresh checkout runs the suite warm; entries whose machine
+# features mismatch are rejected by XLA and recompiled (log spam, still
+# correct). W2L_TEST_CACHE_DIR overrides ("" disables).
+_cache_dir = os.environ.get(
+    "W2L_TEST_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", ".test_cache"),
+)
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np
 import pytest

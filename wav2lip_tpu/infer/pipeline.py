@@ -288,7 +288,10 @@ class LipSyncPipeline:
         try:
             if needs_random_access:
                 frames = [first_frame]
-                if reader is not None:
+                # static mode only ever touches frame 0 — skip the rest of
+                # the decode (the reference decodes everything regardless,
+                # inference.py:190-213)
+                if reader is not None and not static:
                     with self.timings("decode"):
                         frames.extend(reader)
                 est_gb = len(frames) * first_frame.nbytes / 1e9
