@@ -12,12 +12,15 @@ Prints ONE JSON line. ``vs_baseline`` is the realtime multiple divided by the
 driver's ≥5x-realtime north star (BASELINE.md): vs_baseline = (fps/25) / 5,
 so 1.0 == exactly 5x realtime on one chip. Extra keys: ``stages`` (seconds per
 pipeline stage, so every BENCH round records where the time goes; stages
-overlap across threads, so they sum to more than the wall time) and
-``detect_fps_{res}p`` (detector-path frames/sec).
+overlap across threads, so they sum to more than the wall time),
+``detect_fps_{res}p`` (isolated detector throughput),
+``detect_e2e_fps_720p`` (BASELINE config 2: full S3FD + generation e2e), and
+``train_steps_per_sec_gan_b16`` (BASELINE configs 3-5: full GAN train step at
+the reference batch size).
 
 Env knobs: W2L_BENCH_SECONDS (default 10), W2L_BENCH_RES (default 1080),
-W2L_BENCH_BATCH (default 128), W2L_BENCH_DETECT=0 to skip the detector leg,
-W2L_BENCH_DETECT_RES (default 480: detection input resolution).
+W2L_BENCH_BATCH (default 128), W2L_BENCH_DETECT=0 to skip the detector legs,
+W2L_BENCH_DETECT_RES (default 480), W2L_BENCH_TRAIN=0 to skip the train leg.
 """
 
 import json
@@ -110,8 +113,126 @@ def main():
         result[f"detect_fps_{detect_res}p"] = _detect_bench(
             tmp, detect_res, fps
         )
+        result["detect_e2e_fps_720p"] = _detect_e2e_bench(tmp, fps)
+
+    if os.environ.get("W2L_BENCH_TRAIN", "1") != "0":
+        result["train_steps_per_sec_gan_b16"] = _train_bench()
 
     print(json.dumps(result))
+
+
+def _detect_e2e_bench(tmp, fps, seconds=4.0, res=720):
+    """BASELINE config 2 end-to-end: full S3FD detection + generation +
+    composite + encode on a 720p clip (reference inference.py without
+    --box). Random detector weights — throughput is weight-independent —
+    so after the full per-frame detector compute the (garbage) boxes are
+    replaced with the known synthetic-face box; every other stage runs
+    unmodified, with detection overlapping generation in its own thread."""
+    import dataclasses
+    import time as _t
+
+    import jax
+    import numpy as np
+
+    from fixtures import make_video, make_wav
+    from wav2lip_tpu.config import DEFAULT_CONFIG
+    from wav2lip_tpu.detect import FaceDetectionPipeline
+    from wav2lip_tpu.infer import LipSyncPipeline
+    from wav2lip_tpu.models import S3FD, Wav2LipGenerator
+
+    w = res * 16 // 9
+    video = make_video(os.path.join(tmp, "face720.mp4"),
+                       num_frames=int(seconds * fps), fps=fps, w=w, h=res)
+    wav = make_wav(os.path.join(tmp, "a720.wav"), seconds=seconds + 0.5)
+
+    det_vars = jax.jit(S3FD().init)(
+        jax.random.key(0), np.zeros((1, res, w, 3), np.float32)
+    )
+    detector = FaceDetectionPipeline(det_vars, DEFAULT_CONFIG.detect,
+                                     batch_size=16)
+    gen_vars = jax.jit(Wav2LipGenerator().init)(
+        jax.random.key(1),
+        np.zeros((1, 80, 16, 1), np.float32),
+        np.zeros((1, 96, 96, 6), np.float32),
+    )
+    pipe = LipSyncPipeline(gen_vars, detector=detector, config=DEFAULT_CONFIG)
+
+    # random weights yield no faces; substitute the known face box AFTER the
+    # full detector forward so the measured path still pays detection cost
+    m = int(res * 0.2)
+    fixed = np.asarray(
+        [[(w - (res - 2 * m)) // 2, m, (w + (res - 2 * m)) // 2, res - m]],
+        np.float64,
+    )
+    real_raw = pipe._raw_padded_boxes
+
+    def raw_with_fixed_boxes(frames):
+        try:
+            real_raw(frames)
+        except Exception:
+            pass  # garbage detections; cost already paid
+        return np.repeat(fixed, len(frames), axis=0)
+
+    pipe._raw_padded_boxes = raw_with_fixed_boxes
+
+    pipe.run(video, wav, os.path.join(tmp, "warm720.mp4"), temp_dir=tmp)
+    t0 = _t.time()
+    pipe.run(video, wav, os.path.join(tmp, "out720.mp4"), temp_dir=tmp)
+    dt = _t.time() - t0
+    return round(int(seconds * fps) / dt, 2)
+
+
+def _train_bench(steps=8, batch=16):
+    """Training throughput (BASELINE configs 3-5 have no recorded perf
+    number): full GAN train step — generator update incl. frozen-expert
+    sync loss, then discriminator update (hq_wav2lip_train.py:221-256) — at
+    the reference batch size 16 (hparams.py:88) on real shapes."""
+    import time as _t
+
+    import jax
+    import numpy as np
+    import optax
+
+    from wav2lip_tpu.train.state import TrainState
+    from wav2lip_tpu.train.steps import make_gan_steps
+    from wav2lip_tpu.models import Wav2LipGenerator, SyncNet, QualityDiscriminator
+
+    T, S = 5, 96
+    key = jax.random.key(0)
+    gen_tx = optax.adam(1e-4, b1=0.5)
+    disc_tx = optax.adam(1e-4, b1=0.5)
+    gen_state = TrainState.create(
+        jax.jit(Wav2LipGenerator().init)(
+            key, np.zeros((1, T, 80, 16, 1), np.float32),
+            np.zeros((1, T, S, S, 6), np.float32)), gen_tx)
+    disc_state = TrainState.create(
+        jax.jit(QualityDiscriminator().init)(
+            key, np.zeros((1, T, S, S, 3), np.float32)), disc_tx)
+    sync_vars = jax.jit(SyncNet().init)(
+        key, np.zeros((1, 80, 16, 1), np.float32),
+        np.zeros((1, S // 2, S, 3 * T), np.float32))
+
+    train_step, _ = make_gan_steps(gen_tx, disc_tx)
+    rng = np.random.default_rng(0)
+    batch_data = {
+        "x": rng.random((batch, T, S, S, 6), np.float32),
+        "indiv_mels": rng.standard_normal(
+            (batch, T, 80, 16, 1)).astype(np.float32),
+        "mel": rng.standard_normal((batch, 80, 16)).astype(np.float32),
+        "gt": rng.random((batch, T, S, S, 3), np.float32),
+    }
+    wt, dwt = np.float32(0.03), np.float32(0.07)
+
+    # warmup/compile
+    gs, ds, m = train_step(gen_state, disc_state, sync_vars, batch_data,
+                           wt, dwt, use_sync=True)
+    jax.block_until_ready(m)
+    t0 = _t.time()
+    for _ in range(steps):
+        gs, ds, m = train_step(gs, ds, sync_vars, batch_data, wt, dwt,
+                               use_sync=True)
+    jax.block_until_ready(m)
+    return round(steps / (_t.time() - t0), 3)
 
 
 def _detect_bench(tmp, detect_res, fps, n_frames=48):

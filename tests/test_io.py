@@ -16,6 +16,53 @@ from wav2lip_tpu.io import (
     mux_audio,
     read_video_frames,
 )
+from wav2lip_tpu.io.video import RawAVIWriter
+
+
+class TestRawAVIWriter:
+    def test_lossless_roundtrip_via_cv2(self, tmp_path):
+        """Uncompressed BGR24 frames come back bit-exact (the whole point:
+        zero encode CPU AND zero loss)."""
+        frames = [synth_face_frame(128, 72, t) for t in range(7)]
+        p = str(tmp_path / "raw.avi")
+        with RawAVIWriter(p, 25.0, (72, 128)) as w:
+            for f in frames:
+                w.write(f)
+        cap = cv2.VideoCapture(p)
+        assert cap.isOpened()
+        assert cap.get(cv2.CAP_PROP_FPS) == pytest.approx(25.0)
+        assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 7
+        for want in frames:
+            ok, got = cap.read()
+            assert ok
+            np.testing.assert_array_equal(got, want)  # top-down, bit-exact
+        ok, _ = cap.read()
+        assert not ok
+
+    def test_row_padding_for_odd_width(self, tmp_path):
+        """BI_RGB rows are 4-byte aligned; widths with w*3 % 4 != 0 must
+        still round-trip pixel-exact."""
+        frames = [synth_face_frame(30, 20, t) for t in range(3)]  # 90 % 4 = 2
+        p = str(tmp_path / "odd.avi")
+        with RawAVIWriter(p, 25.0, (20, 30)) as w:
+            for f in frames:
+                w.write(f)
+        cap = cv2.VideoCapture(p)
+        for want in frames:
+            ok, got = cap.read()
+            assert ok and got.shape == (20, 30, 3)
+            np.testing.assert_array_equal(got, want)
+
+    def test_shape_mismatch_rejected(self, tmp_path):
+        with RawAVIWriter(str(tmp_path / "x.avi"), 25.0, (16, 16)) as w:
+            with pytest.raises(ValueError, match="frame shape"):
+                w.write(np.zeros((17, 16, 3), np.uint8))
+
+    def test_factory_default_is_raw(self, tmp_path):
+        w = make_frame_writer(str(tmp_path / "d.avi"), 25.0, (16, 16))
+        assert isinstance(w, RawAVIWriter)
+        w.write(np.zeros((16, 16, 3), np.uint8))
+        w.close()
 
 
 class TestMJPEGWriter:

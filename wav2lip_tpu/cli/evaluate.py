@@ -77,7 +77,17 @@ def build_parser():
 
     s = sub.add_parser("score", help="LSE-D/LSE-C over generated videos")
     s.add_argument("--videos_dir", required=True)
-    s.add_argument("--syncnet_checkpoint", required=True)
+    s.add_argument("--protocol", choices=["native", "syncnet_python"],
+                   default="native",
+                   help="native = this framework's SyncNet (self-contained, "
+                        "ranking-consistent); syncnet_python = the external "
+                        "pretrained SyncNet protocol the published numbers "
+                        "use (needs --syncnet_python_model)")
+    s.add_argument("--syncnet_checkpoint", default=None,
+                   help="expert SyncNet checkpoint (native protocol)")
+    s.add_argument("--syncnet_python_model", default=None,
+                   help="syncnet_python .model checkpoint (syncnet_python "
+                        "protocol, e.g. syncnet_v2.model)")
     s.add_argument("--audio_root", default=None,
                    help="directory of wavs named like the videos (required "
                         "without ffmpeg)")
@@ -102,16 +112,24 @@ def cmd_generate(args) -> int:
             pads=tuple(args.pads),
             box=tuple(args.box),
             wav2lip_batch_size=args.wav2lip_batch_size,
+            # eval-harness videos are scored for LSE/FID: keep the full
+            # float32 path so numbers are bit-comparable to the reference's
+            # (bfloat16 stays the product-inference default)
+            compute_dtype="float32",
         ),
     )
     gen_vars = load_model_variables(args.checkpoint_path, import_generator)
     detector = None
     if args.box[0] == -1:
-        if args.s3fd_checkpoint is None:
-            print("error: need --s3fd_checkpoint or --box", file=sys.stderr)
+        from wav2lip_tpu.convert.fetch import resolve_s3fd_checkpoint
+
+        try:
+            s3fd_path = resolve_s3fd_checkpoint(args.s3fd_checkpoint)
+        except (FileNotFoundError, RuntimeError) as e:
+            print(f"error: {e} (or pass --box)", file=sys.stderr)
             return 2
         detector = FaceDetectionPipeline(
-            load_model_variables(args.s3fd_checkpoint, import_s3fd),
+            load_model_variables(s3fd_path, import_s3fd),
             cfg.detect, batch_size=args.face_det_batch_size,
         )
     pipeline = LipSyncPipeline(gen_vars, detector=detector, config=cfg)
@@ -150,12 +168,28 @@ def cmd_generate(args) -> int:
 
 
 def cmd_score(args) -> int:
-    from wav2lip_tpu.convert import import_syncnet
-    from wav2lip_tpu.eval import LSEScorer
-    from wav2lip_tpu.train.checkpoint import load_model_variables
+    if args.protocol == "syncnet_python":
+        from wav2lip_tpu.eval.syncnet_protocol import SyncNetPythonScorer
 
-    sync_vars = load_model_variables(args.syncnet_checkpoint, import_syncnet)
-    scorer = LSEScorer(sync_vars, vshift=args.vshift)
+        if not args.syncnet_python_model:
+            print("error: --protocol syncnet_python needs "
+                  "--syncnet_python_model", file=sys.stderr)
+            return 2
+        scorer = SyncNetPythonScorer.from_checkpoint(
+            args.syncnet_python_model, vshift=args.vshift
+        )
+    else:
+        from wav2lip_tpu.convert import import_syncnet
+        from wav2lip_tpu.eval import LSEScorer
+        from wav2lip_tpu.train.checkpoint import load_model_variables
+
+        if not args.syncnet_checkpoint:
+            print("error: --protocol native needs --syncnet_checkpoint",
+                  file=sys.stderr)
+            return 2
+        sync_vars = load_model_variables(args.syncnet_checkpoint,
+                                         import_syncnet)
+        scorer = LSEScorer(sync_vars, vshift=args.vshift)
 
     videos = sorted(
         glob(join(args.videos_dir, "*.mp4")) + glob(join(args.videos_dir, "*.avi"))
@@ -213,8 +247,12 @@ def cmd_real(args) -> int:
 
     import numpy as np
 
-    if args.s3fd_checkpoint is None:
-        print("error: real-video modes need --s3fd_checkpoint",
+    from wav2lip_tpu.convert.fetch import resolve_s3fd_checkpoint
+
+    try:
+        s3fd_path = resolve_s3fd_checkpoint(args.s3fd_checkpoint)
+    except (FileNotFoundError, RuntimeError) as e:
+        print(f"error: real-video modes need S3FD weights: {e}",
               file=sys.stderr)
         return 2
     cfg = dataclasses.replace(
@@ -223,11 +261,12 @@ def cmd_real(args) -> int:
             DEFAULT_CONFIG.infer,
             pads=(0, 0, 0, 0),
             wav2lip_batch_size=args.wav2lip_batch_size,
+            compute_dtype="float32",  # scored output: match reference path
         ),
     )
     gen_vars = load_model_variables(args.checkpoint_path, import_generator)
     detector = FaceDetectionPipeline(
-        load_model_variables(args.s3fd_checkpoint, import_s3fd),
+        load_model_variables(s3fd_path, import_s3fd),
         cfg.detect, batch_size=args.face_det_batch_size,
     )
     pipeline = LipSyncPipeline(gen_vars, detector=detector, config=cfg)

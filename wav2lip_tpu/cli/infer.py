@@ -86,19 +86,21 @@ def main(argv=None) -> int:
         ),
     )
 
-    if args.box[0] == -1 and args.s3fd_checkpoint is None:
-        print(
-            "error: face detection requires --s3fd_checkpoint "
-            "(or pass a fixed --box)",
-            file=sys.stderr,
-        )
-        return 2
-
     gen_vars = load_model_variables(args.checkpoint_path, import_generator)
 
     detector = None
     if args.box[0] == -1:
-        det_vars = load_model_variables(args.s3fd_checkpoint, import_s3fd)
+        # reference parity: fall back to the model-zoo download when no
+        # local weights exist (sfd_detector.py:11-24)
+        from wav2lip_tpu.convert.fetch import resolve_s3fd_checkpoint
+
+        try:
+            s3fd_path = resolve_s3fd_checkpoint(args.s3fd_checkpoint)
+        except (FileNotFoundError, RuntimeError) as e:
+            print(f"error: {e}\n(face detection needs S3FD weights; or "
+                  f"pass a fixed --box)", file=sys.stderr)
+            return 2
+        det_vars = load_model_variables(s3fd_path, import_s3fd)
         detector = FaceDetectionPipeline(
             det_vars, cfg.detect, batch_size=args.face_det_batch_size
         )

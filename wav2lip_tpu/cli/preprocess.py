@@ -32,7 +32,9 @@ def build_parser():
     p = argparse.ArgumentParser()
     p.add_argument("--data_root", required=True)
     p.add_argument("--preprocessed_root", required=True)
-    p.add_argument("--s3fd_checkpoint", required=True)
+    p.add_argument("--s3fd_checkpoint", default=None,
+                   help="S3FD weights; falls back to checkpoints/ or "
+                        "the model-zoo download (sfd_detector.py:11-24)")
     p.add_argument("--batch_size", type=int, default=32,
                    help="face detection batch size")
     p.add_argument("--shard", type=int, default=0,
@@ -102,7 +104,11 @@ def main(argv=None) -> int:
     print(f"processing {len(filelist)} videos "
           f"(shard {args.shard}/{args.num_shards})")
 
-    det_vars = load_model_variables(args.s3fd_checkpoint, import_s3fd)
+    from wav2lip_tpu.convert.fetch import resolve_s3fd_checkpoint
+
+    det_vars = load_model_variables(
+        resolve_s3fd_checkpoint(args.s3fd_checkpoint), import_s3fd
+    )
     detector = FaceDetectionPipeline(
         det_vars, DEFAULT_CONFIG.detect, batch_size=args.batch_size
     )

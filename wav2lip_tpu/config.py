@@ -114,9 +114,12 @@ class InferConfig:
     smooth_window: int = 5  # bbox temporal smoothing T (inference.py:102)
     img_size: int = 96
     # -- TPU-native performance knobs (no reference equivalent) --
-    # intermediate video codec: "mjpeg" = direct MJPG-AVI writer (fastest on
-    # one core), or any cv2 fourcc ("DIVX" for reference parity, "mp4v", ...)
-    codec: str = "mjpeg"
+    # intermediate video codec: "raw" = uncompressed BGR24 AVI (zero encode
+    # CPU — when ffmpeg muxes the audio it re-encodes anyway, so compressing
+    # the intermediate is wasted work; ~6 MB/frame at 1080p), "mjpeg" =
+    # direct MJPG-AVI writer (compact, ~5 ms/frame encode), or any cv2
+    # fourcc ("DIVX" for reference parity, "mp4v", ...)
+    codec: str = "raw"
     jpeg_quality: int = 90
     # generator compute dtype on device; bfloat16 is TPU-native and visually
     # indistinguishable after the *255 uint8 quantization ("float32" opts out)

@@ -252,6 +252,38 @@ def compute_statistics(features: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return mu, np.atleast_2d(sigma)
 
 
+class RunningStatistics:
+    """Streaming (mu, sigma) over feature batches — mathematically identical
+    to ``compute_statistics`` on the concatenation (same N-1 normalization as
+    np.cov) without materializing all features: accumulates the sum and the
+    sum of outer products per batch, O(D²) memory regardless of corpus size."""
+
+    def __init__(self):
+        self.n = 0
+        self._s1 = None  # sum of features, (D,)
+        self._s2 = None  # sum of outer products, (D, D)
+
+    def update(self, features: np.ndarray) -> None:
+        f = np.asarray(features, np.float64)
+        if f.size == 0:
+            return
+        s1 = f.sum(axis=0)
+        s2 = f.T @ f
+        if self._s1 is None:
+            self._s1, self._s2 = s1, s2
+        else:
+            self._s1 += s1
+            self._s2 += s2
+        self.n += len(f)
+
+    def finalize(self) -> Tuple[np.ndarray, np.ndarray]:
+        if self.n < 2:
+            raise ValueError(f"need >=2 feature rows for FID, got {self.n}")
+        mu = self._s1 / self.n
+        sigma = (self._s2 - self.n * np.outer(mu, mu)) / (self.n - 1)
+        return mu, np.atleast_2d(sigma)
+
+
 def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     """||mu1 - mu2||^2 + Tr(S1 + S2 - 2 sqrt(S1 S2)) — the standard FID
     formula (as computed by pytorch-fid's calculate_frechet_distance)."""
@@ -347,16 +379,22 @@ class FIDScorer:
     def score_video_sets(self, videos_a: List[str], videos_b: List[str],
                          max_frames_per_video: Optional[int] = None) -> float:
         """FID between all frames of two video sets (the reference protocol
-        runs pytorch-fid over frame dumps of generated vs. real videos)."""
+        runs pytorch-fid over frame dumps of generated vs. real videos).
+
+        Streams: decodes one video at a time and folds its features into
+        running (mu, sigma) accumulators, so memory is O(one video + D²)
+        instead of O(corpus) — a realistic benchmark set is thousands of
+        videos."""
         from wav2lip_tpu.io.video import VideoFrameReader
 
         import cv2
 
         size = (self.input_size, self.input_size)
 
-        def frames_of(paths):
-            frames = []
+        def stats_of(paths) -> Tuple[np.ndarray, np.ndarray]:
+            stats = RunningStatistics()
             for p in paths:
+                frames = []
                 with VideoFrameReader(p) as r:
                     for i, f in enumerate(r):
                         if (max_frames_per_video is not None
@@ -365,8 +403,12 @@ class FIDScorer:
                         # squash-resize on host so mixed-size videos batch
                         # together (pytorch-fid resizes each image to 299)
                         frames.append(cv2.resize(f, size))
-            if not frames:
+                if frames:
+                    stats.update(self.features(frames))
+            if stats.n == 0:
                 raise ValueError("no frames decoded for FID")
-            return frames
+            return stats.finalize()
 
-        return self.score_frames(frames_of(videos_a), frames_of(videos_b))
+        mu1, s1 = stats_of(videos_a)
+        mu2, s2 = stats_of(videos_b)
+        return frechet_distance(mu1, s1, mu2, s2)

@@ -23,9 +23,11 @@ host, inference.py:249-272):
 * streaming decode: when boxes are known without random access (fixed
   ``--box`` on a long clip) frames are decoded as needed and freed after
   compositing instead of materializing the whole clip in RAM;
-* the intermediate video is MJPG-AVI written directly (io.video.MJPEGWriter)
-  — one baseline JPEG per frame beats cv2's DIVX/mp4v encoders on a single
-  core; set ``infer.codec="DIVX"`` for bit-identical reference behavior.
+* the intermediate video defaults to uncompressed BGR24 AVI
+  (io.video.RawAVIWriter) — zero per-frame encode CPU; ffmpeg re-encodes at
+  mux time anyway (inference.py:276-277), so compressing the intermediate is
+  wasted work. ``infer.codec="mjpeg"`` gets a compact MJPG-AVI intermediate,
+  ``"DIVX"`` bit-identical reference behavior.
 
 Behavioral parity preserved: pads/box/static/resize_factor/rotate/crop/
 nosmooth flags, bbox smoothing window of 5, mel NaN guard, frame truncation
@@ -87,6 +89,93 @@ class FrameCrop:
     frame: Optional[np.ndarray]  # None = static mode (writer reuses a canvas)
     coords: Tuple[int, int, int, int]
     owns_frame: bool
+
+
+class _AsyncBoxes:
+    """Face boxes computed in a background thread, published incrementally,
+    so detection overlaps generation instead of serializing ahead of it
+    (the reference detects every frame before generating any,
+    inference.py:108-121 via datagen's face_detect call).
+
+    Parity with the serial path: the reference's sequential smoothing
+    (inference.py:59-66) equals ``mean(raw[i:i+T])`` for every ``i <= n-T``
+    (those windows see only raw values), so that prefix is published as soon
+    as ``raw[i+T-1]`` exists; the quirky tail — windows clamped to the last T
+    entries, partially over already-smoothed values — is computed by the
+    full ``smooth_boxes`` pass once detection finishes and matches it
+    exactly on the prefix too.
+    """
+
+    def __init__(self, pipeline: "LipSyncPipeline",
+                 frames: Sequence[np.ndarray], chunk: int = 64):
+        self.pipe = pipeline
+        self.frames = frames
+        self.n = len(frames)
+        self.chunk = chunk
+        self.T = pipeline.cfg.infer.smooth_window
+        self.nosmooth = pipeline.cfg.infer.nosmooth
+        self.raw: List[np.ndarray] = []
+        self.smoothed: List[Optional[Tuple[int, int, int, int]]] = (
+            [None] * self.n
+        )
+        self.ready = 0
+        self.error: Optional[BaseException] = None
+        self.cond = threading.Condition()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def _publish(self, boxes: np.ndarray, upto: int) -> None:
+        with self.cond:
+            for i in range(self.ready, upto):
+                x1, y1, x2, y2 = boxes[i]
+                self.smoothed[i] = (int(y1), int(y2), int(x1), int(x2))
+            self.ready = upto
+            self.cond.notify_all()
+
+    def _run(self) -> None:
+        try:
+            for s in range(0, self.n, self.chunk):
+                with self.pipe.timings("detect"):
+                    got = self.pipe._raw_padded_boxes(
+                        self.frames[s : s + self.chunk]
+                    )
+                self.raw.extend(got)
+                if self.nosmooth:
+                    self._publish(np.asarray(self.raw), len(self.raw))
+                else:
+                    arr = np.asarray(self.raw)
+                    safe = max(0, len(arr) - (self.T - 1))
+                    if safe > self.ready and len(arr) < self.n:
+                        # all-raw windows only; mean == reference smoothing
+                        win = np.stack([
+                            arr[i : i + self.T].mean(axis=0)
+                            for i in range(self.ready, safe)
+                        ])
+                        self._publish_window(win, safe)
+            if not self.nosmooth:
+                full = smooth_boxes(np.asarray(self.raw), T=self.T)
+                self._publish(full, self.n)
+        except BaseException as e:  # noqa: BLE001 — re-raised in get()
+            with self.cond:
+                self.error = e
+                self.cond.notify_all()
+
+    def _publish_window(self, win: np.ndarray, upto: int) -> None:
+        with self.cond:
+            for j, i in enumerate(range(self.ready, upto)):
+                x1, y1, x2, y2 = win[j]
+                self.smoothed[i] = (int(y1), int(y2), int(x1), int(x2))
+            self.ready = upto
+            self.cond.notify_all()
+
+    def get(self, i: int) -> Tuple[int, int, int, int]:
+        """Block until frame i's smoothed box is available."""
+        with self.cond:
+            while self.ready <= i and self.error is None:
+                self.cond.wait(timeout=_QUEUE_POLL_S)
+            if self.error is not None:
+                raise self.error
+            return self.smoothed[i]
 
 
 class LipSyncPipeline:
@@ -154,6 +243,31 @@ class LipSyncPipeline:
 
     # -- face localization ----------------------------------------------------
 
+    def _raw_padded_boxes(self, frames: Sequence[np.ndarray]) -> np.ndarray:
+        """Detector + pads + face-not-found dump for a chunk of frames
+        (reference inference.py:68-99); returns (N, 4) float (x1,y1,x2,y2)
+        UN-smoothed boxes."""
+        icfg = self.cfg.infer
+        raw = self.detector.first_face_boxes(np.asarray(frames))
+        pady1, pady2, padx1, padx2 = icfg.pads
+        results = []
+        for rect, image in zip(raw, frames):
+            if rect is None:
+                os.makedirs("temp", exist_ok=True)
+                cv2.imwrite("temp/faulty_frame.jpg", image)
+                raise FaceNotDetectedError(
+                    "Face not detected! Ensure the video contains a face in "
+                    "all the frames."
+                )
+            x1, y1, x2, y2 = rect
+            results.append([
+                max(0, x1 - padx1),
+                max(0, y1 - pady1),
+                min(image.shape[1], x2 + padx2),
+                min(image.shape[0], y2 + pady2),
+            ])
+        return np.asarray(results, np.float64)
+
     def _face_boxes(
         self, frames: Sequence[np.ndarray], static: bool
     ) -> List[Tuple[int, int, int, int]]:
@@ -169,26 +283,7 @@ class LipSyncPipeline:
                 "no face detector configured: pass --box or provide S3FD weights"
             )
         targets = frames[:1] if static else frames
-        raw = self.detector.first_face_boxes(np.asarray(targets))
-
-        pady1, pady2, padx1, padx2 = icfg.pads
-        results = []
-        for rect, image in zip(raw, targets):
-            if rect is None:
-                os.makedirs("temp", exist_ok=True)
-                cv2.imwrite("temp/faulty_frame.jpg", image)
-                raise FaceNotDetectedError(
-                    "Face not detected! Ensure the video contains a face in "
-                    "all the frames."
-                )
-            x1, y1, x2, y2 = rect
-            results.append([
-                max(0, x1 - padx1),
-                max(0, y1 - pady1),
-                min(image.shape[1], x2 + padx2),
-                min(image.shape[0], y2 + pady2),
-            ])
-        boxes = np.asarray(results, np.float64)
+        boxes = self._raw_padded_boxes(targets)
         if not icfg.nosmooth:
             boxes = smooth_boxes(boxes, T=icfg.smooth_window)
         return [
@@ -308,15 +403,35 @@ class LipSyncPipeline:
                     )
                 if not static:
                     frames = frames[:num_out]
-                with self.timings("detect"):
-                    boxes = self._face_boxes(frames, static)
                 self._static_frame = frames[0] if static else None
-                source = self._materialized_source(frames, boxes, static,
+                if (self.detector is not None and not static
+                        and icfg.box[0] == -1):
+                    # detection overlaps generation: boxes are produced by a
+                    # background thread and consumed as the prep loop needs
+                    # them (the reference detects ALL frames before
+                    # generating any, inference.py:108-121)
+                    box_of = _AsyncBoxes(self, frames).get
+                else:
+                    with self.timings("detect"):
+                        boxes = self._face_boxes(frames, static)
+                    box_of = (lambda i: boxes[0]) if static else (
+                        lambda i: boxes[i]
+                    )
+                source = self._materialized_source(frames, box_of, static,
                                                    num_out)
             else:
                 y1, y2, x1, x2 = icfg.box
+
+                def _reopen():
+                    return VideoFrameReader(
+                        face_path,
+                        resize_factor=icfg.resize_factor,
+                        rotate=icfg.rotate,
+                        crop=icfg.crop,
+                    )
+
                 source = self._streaming_source(
-                    reader, first_frame, (y1, y2, x1, x2), num_out
+                    reader, first_frame, (y1, y2, x1, x2), num_out, _reopen
                 )
 
             return self._execute(
@@ -329,32 +444,51 @@ class LipSyncPipeline:
 
     # -- frame sources ----------------------------------------------------------
 
-    def _materialized_source(self, frames, boxes, static: bool, num_out: int):
+    def _materialized_source(self, frames, box_of, static: bool,
+                             num_out: int):
         """Yield FrameCrops from an in-RAM frame list (cyclic reuse
-        ``i % len(frames)``, inference.py:121). In static mode the writer
-        composites onto one canvas, so no frame is attached."""
+        ``i % len(frames)``, inference.py:121). ``box_of(idx)`` supplies the
+        face box — possibly blocking on the async detector. In static mode
+        the writer composites onto one canvas, so no frame is attached."""
         def gen():
             n = len(frames)
             owns = num_out <= n  # every source frame used at most once
             for i in range(num_out):
                 if static:
-                    yield FrameCrop(None, boxes[0], False)
+                    yield FrameCrop(None, box_of(0), False)
                 else:
                     idx = i % n
-                    yield FrameCrop(frames[idx], boxes[idx], owns)
+                    yield FrameCrop(frames[idx], box_of(idx), owns)
         return gen()
 
-    def _streaming_source(self, reader, first_frame, coords, num_out: int):
+    def _streaming_source(self, reader, first_frame, coords, num_out: int,
+                          reopen=None):
         """Yield FrameCrops straight off the decoder; each frame is owned by
-        its output and freed after compositing."""
+        its output and freed after compositing.
+
+        If the container's frame-count hint overestimated and the stream ends
+        early, the decoder is re-opened and decoding wraps to frame 0 —
+        the same cyclic reuse (``i % n``, inference.py:121) the materialized
+        path gives, at the cost of re-decoding instead of buffering. Output
+        length always matches the audio."""
         def gen():
+            nonlocal reader
             frame = first_frame
             for i in range(num_out):
-                if frame is None:
+                if frame is None and reopen is not None:
                     warnings.warn(
                         f"video ended after {i} frames but {num_out} outputs "
                         f"were planned (container frame-count hint was "
-                        f"wrong); output truncated"
+                        f"wrong); re-decoding from the start to cycle frames"
+                    )
+                    reader.close()
+                    reader = reopen()
+                    with self.timings("decode"):
+                        frame = reader.read()
+                if frame is None:
+                    warnings.warn(
+                        f"video ended after {i} frames but {num_out} outputs "
+                        f"were planned; output truncated"
                     )
                     return
                 yield FrameCrop(frame, coords, True)
@@ -450,22 +584,26 @@ class LipSyncPipeline:
                         for j, c in enumerate(crops):
                             y1, y2, x1, x2 = c.coords
                             with self.timings("composite"):
-                                patch = cv2.resize(
-                                    preds[j], (x2 - x1, y2 - y1)
-                                )
                                 if c.frame is None:  # static: one canvas,
                                     if static_canvas is None:  # same coords
                                         static_canvas = (
                                             self._static_frame.copy()
                                         )
-                                    static_canvas[y1:y2, x1:x2] = patch
                                     out = static_canvas
                                 elif c.owns_frame:
-                                    c.frame[y1:y2, x1:x2] = patch
                                     out = c.frame
                                 else:
                                     out = c.frame.copy()
-                                    out[y1:y2, x1:x2] = patch
+                                # resize straight into the frame view —
+                                # skips the intermediate patch buffer; cv2
+                                # honors a strided dst of matching shape
+                                # (falls back to copy when it reallocates)
+                                view = out[y1:y2, x1:x2]
+                                res = cv2.resize(
+                                    preds[j], (x2 - x1, y2 - y1), dst=view
+                                )
+                                if not np.shares_memory(res, out):
+                                    view[:] = res
                             with self.timings("encode"):
                                 writer.write(out)
                             written[0] += 1

@@ -144,25 +144,26 @@ class VideoFrameWriter:
         self.close()
 
 
-class MJPEGWriter:
-    """Direct MJPG-in-AVI writer (RIFF 'AVI ' → hdrl → movi '00dc' chunks →
-    idx1 index), JPEG-encoding frames with cv2.imencode.
-
-    Every mainstream reader (OpenCV, ffmpeg, VLC) accepts MJPG AVI; unlike
-    inter-frame codecs each frame is independent, so encode cost is one
-    baseline JPEG — measurably cheaper than cv2.VideoWriter's DIVX/mp4v on a
-    single core and embarrassingly parallel if cores are available.
-    """
+class _AVIWriterBase:
+    """Shared RIFF-AVI container plumbing (RIFF 'AVI ' → hdrl → movi chunks →
+    idx1 index). Subclasses set the stream fourcc/compression and implement
+    ``write`` by handing per-frame payload bytes to :meth:`_append_chunk`."""
 
     _AVIF_HASINDEX = 0x10
     _AVIIF_KEYFRAME = 0x10
 
-    def __init__(self, path: str, fps: float, frame_size_hw: Tuple[int, int],
-                 quality: int = 90):
+    #: stream handler fourcc (strh) and BITMAPINFOHEADER biCompression (strf)
+    _HANDLER = b"\x00\x00\x00\x00"
+    _COMPRESSION = b"\x00\x00\x00\x00"
+    #: movi chunk id: '00dc' = compressed video, '00db' = uncompressed DIB
+    _CHUNK_ID = b"00dc"
+    #: biHeight sign: raw DIB frames are stored top-down with negative height
+    _HEIGHT_SIGN = 1
+
+    def __init__(self, path: str, fps: float, frame_size_hw: Tuple[int, int]):
         self.path = path
         self.fps = float(fps)
         self.h, self.w = frame_size_hw
-        self.quality = int(quality)
         self._file = open(path, "wb")
         self._index: List[Tuple[int, int]] = []  # (offset into movi, size)
         self._movi_bytes = 4  # 'movi' fourcc
@@ -208,7 +209,7 @@ class MJPEGWriter:
         # strh: AVIStreamHeader — fractional fps via scale 1000
         f.write(b"strh" + struct.pack("<I", 56))
         self._strh_pos = f.tell()
-        f.write(b"vids" + b"MJPG")
+        f.write(b"vids" + self._HANDLER)
         f.write(struct.pack(
             "<IHHIIIIIIIi4h",
             0, 0, 0,                       # dwFlags, wPriority, wLanguage
@@ -227,7 +228,7 @@ class MJPEGWriter:
         f.write(b"strf" + struct.pack("<I", 40))
         f.write(struct.pack(
             "<IiiHH4sIiiII",
-            40, self.w, self.h, 1, 24, b"MJPG",
+            40, self.w, self._HEIGHT_SIGN * self.h, 1, 24, self._COMPRESSION,
             self.w * self.h * 3, 0, 0, 0, 0,
         ))
 
@@ -236,15 +237,15 @@ class MJPEGWriter:
         self._movi_size_pos = f.tell(); f.write(struct.pack("<I", 0))
         f.write(b"movi")
 
-    def write_encoded(self, jpeg_bytes: bytes) -> None:
-        """Append one pre-encoded JPEG frame."""
+    def _append_chunk(self, payload) -> None:
+        """Append one frame chunk (bytes or any buffer-protocol object)."""
         if self._closed:
             raise ValueError("writer is closed")
-        size = len(jpeg_bytes)
+        size = len(payload) if isinstance(payload, bytes) else payload.nbytes
         self._index.append((self._movi_bytes, size))
         f = self._file
-        f.write(b"00dc" + struct.pack("<I", size))
-        f.write(jpeg_bytes)
+        f.write(self._CHUNK_ID + struct.pack("<I", size))
+        f.write(payload)
         padded = size + (size & 1)
         if size & 1:
             f.write(b"\x00")
@@ -252,12 +253,7 @@ class MJPEGWriter:
         self._max_chunk = max(self._max_chunk, size)
 
     def write(self, frame_bgr: np.ndarray) -> None:
-        ok, buf = cv2.imencode(
-            ".jpg", frame_bgr, [cv2.IMWRITE_JPEG_QUALITY, self.quality]
-        )
-        if not ok:
-            raise ValueError("JPEG encode failed")
-        self.write_encoded(buf.tobytes())
+        raise NotImplementedError
 
     def close(self) -> None:
         if self._closed:
@@ -267,7 +263,7 @@ class MJPEGWriter:
         # idx1
         f.write(b"idx1" + struct.pack("<I", 16 * len(self._index)))
         for offset, size in self._index:
-            f.write(b"00dc" + struct.pack(
+            f.write(self._CHUNK_ID + struct.pack(
                 "<III", self._AVIIF_KEYFRAME, offset, size
             ))
         end = f.tell()
@@ -291,10 +287,78 @@ class MJPEGWriter:
         self.close()
 
 
+class MJPEGWriter(_AVIWriterBase):
+    """MJPG-in-AVI writer, JPEG-encoding frames with cv2.imencode.
+
+    Every mainstream reader (OpenCV, ffmpeg, VLC) accepts MJPG AVI; unlike
+    inter-frame codecs each frame is independent, so encode cost is one
+    baseline JPEG — measurably cheaper than cv2.VideoWriter's DIVX/mp4v on a
+    single core and embarrassingly parallel if cores are available.
+    """
+
+    _HANDLER = b"MJPG"
+    _COMPRESSION = b"MJPG"
+    _CHUNK_ID = b"00dc"
+    _HEIGHT_SIGN = 1
+
+    def __init__(self, path: str, fps: float, frame_size_hw: Tuple[int, int],
+                 quality: int = 90):
+        self.quality = int(quality)
+        super().__init__(path, fps, frame_size_hw)
+
+    def write_encoded(self, jpeg_bytes: bytes) -> None:
+        """Append one pre-encoded JPEG frame."""
+        self._append_chunk(jpeg_bytes)
+
+    def write(self, frame_bgr: np.ndarray) -> None:
+        ok, buf = cv2.imencode(
+            ".jpg", frame_bgr, [cv2.IMWRITE_JPEG_QUALITY, self.quality]
+        )
+        if not ok:
+            raise ValueError("JPEG encode failed")
+        self.write_encoded(buf.tobytes())
+
+
+class RawAVIWriter(_AVIWriterBase):
+    """Uncompressed BGR24 ('DIB ') AVI writer — zero per-frame encode CPU.
+
+    On a single-core host the per-frame JPEG of :class:`MJPEGWriter` is the
+    single most expensive pipeline stage (~5 ms/frame at 1080p); a raw DIB
+    chunk is one buffered ``write`` into the page cache (<1 ms/frame) at the
+    price of 6.2 MB/frame on disk. The frame is stored top-down via negative
+    ``biHeight`` (no vertical-flip pass; ffmpeg/OpenCV both honor it).
+    When ffmpeg muxes the audio track afterwards it re-encodes anyway
+    (reference inference.py:276-277 ``-q:v 1``), so JPEG-ing the intermediate
+    was pure wasted work; without ffmpeg the deliverable is lossless.
+    """
+
+    _HANDLER = b"DIB "
+    _COMPRESSION = b"\x00\x00\x00\x00"  # BI_RGB
+    _CHUNK_ID = b"00db"
+    _HEIGHT_SIGN = -1  # top-down rows
+
+    def write(self, frame_bgr: np.ndarray) -> None:
+        if frame_bgr.shape[:2] != (self.h, self.w):
+            raise ValueError(
+                f"frame shape {frame_bgr.shape[:2]} != {(self.h, self.w)}"
+            )
+        frame_bgr = np.ascontiguousarray(frame_bgr, dtype=np.uint8)
+        row = self.w * 3
+        if row % 4:  # BI_RGB rows are 4-byte aligned
+            stride = (row + 3) & ~3
+            padded = np.zeros((self.h, stride), np.uint8)
+            padded[:, :row] = frame_bgr.reshape(self.h, row)
+            frame_bgr = padded
+        self._append_chunk(frame_bgr.data)
+
+
 def make_frame_writer(path: str, fps: float, frame_size_hw: Tuple[int, int],
-                      codec: str = "mjpeg", jpeg_quality: int = 90):
-    """Writer factory: ``mjpeg`` → :class:`MJPEGWriter` (fast path);
+                      codec: str = "raw", jpeg_quality: int = 90):
+    """Writer factory: ``raw`` → :class:`RawAVIWriter` (fastest, lossless,
+    big files); ``mjpeg`` → :class:`MJPEGWriter` (compact intermediate);
     any cv2 fourcc (``DIVX``, ``mp4v``, ...) → :class:`VideoFrameWriter`."""
+    if codec.lower() == "raw":
+        return RawAVIWriter(path, fps, frame_size_hw)
     if codec.lower() == "mjpeg":
         return MJPEGWriter(path, fps, frame_size_hw, quality=jpeg_quality)
     return VideoFrameWriter(path, fps, frame_size_hw, fourcc=codec)

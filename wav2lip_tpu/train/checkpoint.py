@@ -46,6 +46,27 @@ def load_orbax(path: str, item=None) -> Dict[str, Any]:
         return ckptr.restore(os.path.abspath(path), item=item)
 
 
+def checkpoint_has_opt_state(path: str) -> bool:
+    """True when the checkpoint stores a non-empty ``opt_state`` — probed
+    from Orbax metadata (cheap) with a raw-restore fallback, so model-only
+    checkpoints (saved with ``opt_state=None``, e.g. eval/export snapshots)
+    can be restored without an optimizer-structure template."""
+    import orbax.checkpoint as ocp
+
+    try:
+        with ocp.PyTreeCheckpointer() as ckptr:
+            meta = ckptr.metadata(os.path.abspath(path))
+        tree = getattr(meta, "tree", meta)
+        if isinstance(tree, dict):
+            sub = tree.get("opt_state")
+        else:
+            sub = getattr(tree, "opt_state", None)
+        return sub is not None and jax.tree.leaves(sub) != []
+    except Exception:
+        raw = load_orbax(path)
+        return raw.get("opt_state") is not None
+
+
 def latest_checkpoint(ckpt_dir: str, prefix: str = "") -> Optional[str]:
     if not os.path.isdir(ckpt_dir):
         return None

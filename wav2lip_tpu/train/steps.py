@@ -227,6 +227,11 @@ def make_gan_steps(gen_tx: optax.GradientTransformation,
         disc_state, dmetrics = disc_step(disc_state, batch["gt"], g)
         return gen_state, disc_state, {**gmetrics, **dmetrics}
 
+    # expose the two underlying programs so callers (the multi-chip dryrun)
+    # can AOT-compile them in parallel threads and log compile progress
+    train_step.gen_step = gen_step
+    train_step.disc_step = disc_step
+
     @jax.jit
     def eval_step(gen_state: TrainState, disc_state: TrainState, sync_vars,
                   batch):

@@ -80,13 +80,23 @@ class _BaseTrainer:
             return global_batch_from_local(self.mesh, batch)
         return shard_batch(self.mesh, batch)
 
+    @property
+    def _is_primary(self) -> bool:
+        """Multi-host: only process 0 writes checkpoints, metrics, and
+        sample dumps — N processes appending to one path on a shared
+        filesystem corrupt both (params are replicated, so process 0 has
+        everything)."""
+        return jax.process_index() == 0
+
     def _open_metrics(self, checkpoint_dir: str) -> MetricsLogger:
         """Train/eval metrics go to ``{checkpoint_dir}/train_log.jsonl``
         unless a logger was injected (the reference only has tqdm postfix
-        strings — SURVEY.md §5 metrics/logging)."""
+        strings — SURVEY.md §5 metrics/logging). Non-primary processes get a
+        disabled logger."""
         if self.metrics_logger is None:
             self.metrics_logger = MetricsLogger(
-                join(checkpoint_dir, "train_log.jsonl")
+                join(checkpoint_dir, "train_log.jsonl"),
+                enabled=self._is_primary,
             )
         return self.metrics_logger
 
@@ -111,9 +121,12 @@ class _BaseTrainer:
         the next ``tx.update`` crashes; restoring with ``item=`` re-builds the
         exact opt_state pytree. With ``reset_optimizer`` the raw restore is
         used (params/batch_stats are plain dicts, no template needed) so
-        checkpoints from a different optimizer still load.
+        checkpoints from a different optimizer still load. Model-only
+        checkpoints (saved without optimizer state, e.g. eval/export
+        snapshots) are probed for and restored template-free, falling back
+        to fresh optimizer state.
         """
-        if reset_optimizer:
+        if reset_optimizer or not ckpt_lib.checkpoint_has_opt_state(path):
             return ckpt_lib.load_orbax(path)
         template = {
             "params": state.params,
@@ -182,6 +195,8 @@ class SyncNetTrainer(_BaseTrainer):
         return {"loss": float(np.mean(losses))}
 
     def save(self, checkpoint_dir: str):
+        if not self._is_primary:
+            return
         ckpt_lib.save_checkpoint(
             checkpoint_dir, self.global_step,
             {
@@ -202,8 +217,11 @@ class SyncNetTrainer(_BaseTrainer):
         if not reset_optimizer and restored.get("opt_state") is not None:
             self.state = self.state.replace(opt_state=restored["opt_state"])
         if overwrite_global_states:
-            self.global_step = int(restored["global_step"])
-            self.global_epoch = int(restored["global_epoch"])
+            # model-only snapshots may lack counters; keep the live ones then
+            self.global_step = int(restored.get("global_step",
+                                                self.global_step) or 0)
+            self.global_epoch = int(restored.get("global_epoch",
+                                                 self.global_epoch) or 0)
 
 
 class Wav2LipTrainer(_BaseTrainer):
@@ -286,7 +304,7 @@ class Wav2LipTrainer(_BaseTrainer):
             if (self.global_step == 1
                     or self.global_step % tcfg.checkpoint_interval == 0
                     or self.global_step == max_steps):
-                if dump_samples and g is not None:
+                if dump_samples and g is not None and self._is_primary:
                     save_sample_images(batch["x"], g, batch["gt"],
                                        self.global_step, checkpoint_dir)
                 self.save(checkpoint_dir)
@@ -318,6 +336,8 @@ class Wav2LipTrainer(_BaseTrainer):
         return {k: v / num_batches for k, v in sums.items()}
 
     def save(self, checkpoint_dir: str):
+        if not self._is_primary:
+            return
         ckpt_lib.save_checkpoint(
             checkpoint_dir, self.global_step,
             {
@@ -350,8 +370,11 @@ class Wav2LipTrainer(_BaseTrainer):
         if not reset_optimizer and restored.get("opt_state") is not None:
             self.state = self.state.replace(opt_state=restored["opt_state"])
         if overwrite_global_states:
-            self.global_step = int(restored["global_step"])
-            self.global_epoch = int(restored["global_epoch"])
+            # model-only snapshots may lack counters; keep the live ones then
+            self.global_step = int(restored.get("global_step",
+                                                self.global_step) or 0)
+            self.global_epoch = int(restored.get("global_epoch",
+                                                 self.global_epoch) or 0)
 
     def load_disc(self, path: str, reset_optimizer: bool = False):
         restored = self._restore(path, self.disc_state, reset_optimizer)

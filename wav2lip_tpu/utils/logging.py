@@ -15,15 +15,22 @@ from typing import IO, Dict, Optional
 
 
 class MetricsLogger:
-    def __init__(self, jsonl_path: Optional[str] = None, stream: IO = sys.stdout):
+    def __init__(self, jsonl_path: Optional[str] = None,
+                 stream: IO = sys.stdout, enabled: bool = True):
+        """``enabled=False`` makes every call a no-op — used by non-primary
+        processes in multi-host training so N processes don't interleave
+        writes into one JSONL/console."""
+        self.enabled = enabled
         self.stream = stream
         self._file: Optional[IO] = None
-        if jsonl_path:
+        if jsonl_path and enabled:
             os.makedirs(os.path.dirname(os.path.abspath(jsonl_path)),
                         exist_ok=True)
             self._file = open(jsonl_path, "a")
 
     def log(self, step: int, metrics: Dict[str, float], prefix: str = "train"):
+        if not self.enabled:
+            return
         rec = {"ts": time.time(), "step": step, "prefix": prefix,
                **{k: float(v) for k, v in metrics.items()}}
         if self._file:
