@@ -161,6 +161,42 @@ class TestMelSpectrogram:
         assert db.min() >= -100.0 - 1e-4
 
 
+class TestGoldenMelVectors:
+    """Drift-detector golden vectors (SURVEY §7 'hard parts' #1).
+
+    librosa (any version) is not installable in this environment, so these
+    goldens are generated from THIS implementation (tests/golden/
+    mel_golden.npz, 4 wav/mel pairs incl. odd lengths) — they pin today's
+    numerics so any future refactor that shifts melspectrogram output is
+    caught. Structural parity with librosa 0.7 semantics is covered by the
+    torch.stft / scipy.lfilter / Slaney-property tests above; the remaining
+    librosa gap is documented in docs/DESIGN.md's deviation table.
+    """
+
+    @pytest.fixture(scope="class")
+    def golden(self):
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "golden",
+                            "mel_golden.npz")
+        return np.load(path)
+
+    @pytest.mark.parametrize("name", ["tones", "chirp", "burst", "am"])
+    def test_numpy_path_matches_golden(self, frontend, golden, name):
+        mel = frontend.melspectrogram(golden[f"wav_{name}"])
+        ref = golden[f"mel_{name}"]
+        assert mel.shape == ref.shape
+        np.testing.assert_allclose(mel, ref, atol=1e-4)
+
+    @pytest.mark.parametrize("name", ["tones", "chirp", "burst", "am"])
+    def test_jax_path_matches_golden(self, frontend, golden, name):
+        mel = np.asarray(frontend.melspectrogram_jax(golden[f"wav_{name}"]))
+        ref = golden[f"mel_{name}"]
+        assert mel.shape == ref.shape
+        # device path tolerance: float32 FFT vs float64 host path
+        np.testing.assert_allclose(mel, ref, atol=8e-3)
+
+
 class TestWavIO:
     def test_save_load_roundtrip(self, tmp_path):
         wav = make_wav()
