@@ -79,7 +79,9 @@ def main() -> int:
         np.zeros((1, 48, 96, 15), np.float32),
     )
     state = TrainState.create(variables, tx)
-    train_step, _ = make_syncnet_steps(tx)
+    # mesh path: ONE fused cross-process gradient all-reduce over gloo
+    # instead of the SPMD partitioner's per-tensor collectives
+    train_step, _ = make_syncnet_steps(tx, mesh=mesh)
 
     # per-process local data (deterministic per process_id so the parent can
     # recompute the expected global concatenation)

@@ -36,6 +36,23 @@ def mesh():
 
 
 @pytest.fixture(scope="module")
+def mesh2():
+    """2-device mesh for the step tests: big enough to exercise real
+    cross-device collectives and shard/replicate semantics, small enough
+    that the serialized per-device compute stays fast on a low-core-count
+    host (the 8-device step coverage lives in the driver's multi-chip
+    dryrun and the two-process distributed test)."""
+    return make_mesh(jax.devices()[:2])
+
+
+@pytest.fixture(scope="module")
+def mesh1():
+    """1-device mesh: shard_map path with no collectives — used by trainer
+    tests where the subject is resume/loop semantics, not sharding."""
+    return make_mesh(jax.devices()[:1])
+
+
+@pytest.fixture(scope="module")
 def sync_batch():
     r = np.random.default_rng(0)
     B = 8
@@ -70,11 +87,11 @@ def sync_vars():
 
 
 class TestSyncNetStep:
-    def test_step_updates_and_learns(self, mesh, sync_batch, sync_vars):
+    def test_step_updates_and_learns(self, mesh2, sync_batch, sync_vars):
         tx = optax.adam(1e-4)
-        train_step, eval_step = make_syncnet_steps(tx)
+        train_step, eval_step = make_syncnet_steps(tx, mesh=mesh2)
         state = TrainState.create(sync_vars, tx)
-        batch = shard_batch(mesh, sync_batch)
+        batch = shard_batch(mesh2, sync_batch)
 
         state2, m = train_step(state, *batch)
         assert np.isfinite(float(m["loss"]))
@@ -85,11 +102,13 @@ class TestSyncNetStep:
         em = eval_step(state2, *batch)
         assert np.isfinite(float(em["loss"]))
 
-    def test_loss_decreases_over_steps(self, mesh, sync_batch, sync_vars):
+    def test_loss_decreases_over_steps(self, sync_batch, sync_vars):
+        # single-device jit path: the subject is the optimizer update, not
+        # sharding; keeps 12 sequential steps fast on low-core hosts
         tx = optax.adam(1e-3)
         train_step, _ = make_syncnet_steps(tx)
         state = TrainState.create(sync_vars, tx)
-        batch = shard_batch(mesh, sync_batch)
+        batch = sync_batch
         first = None
         for i in range(12):
             state, m = train_step(state, *batch)
@@ -99,9 +118,9 @@ class TestSyncNetStep:
 
 
 class TestWav2LipStep:
-    def test_step_no_sync(self, mesh, w2l_batch, sync_vars):
+    def test_step_no_sync(self, mesh2, w2l_batch, sync_vars):
         tx = optax.adam(1e-4)
-        train_step, eval_step = make_wav2lip_steps(tx)
+        train_step, eval_step = make_wav2lip_steps(tx, mesh=mesh2)
         from wav2lip_tpu.models import Wav2LipGenerator
 
         gvars = jax.jit(Wav2LipGenerator().init)(
@@ -110,7 +129,7 @@ class TestWav2LipStep:
             np.zeros((1, 5, 96, 96, 6), np.float32),
         )
         state = TrainState.create(gvars, tx)
-        batch = shard_batch(mesh, w2l_batch)
+        batch = shard_batch(mesh2, w2l_batch)
 
         state2, m, g = train_step(state, sync_vars, batch,
                                   np.float32(0.0), use_sync=False)
@@ -132,12 +151,12 @@ class TestWav2LipStep:
 
 
 class TestGANStep:
-    def test_full_gan_step(self, mesh, w2l_batch, sync_vars):
+    def test_full_gan_step(self, mesh2, w2l_batch, sync_vars):
         from wav2lip_tpu.models import Wav2LipGenerator, QualityDiscriminator
 
         gen_tx = optax.adam(1e-4, b1=0.5)
         disc_tx = optax.adam(1e-4, b1=0.5)
-        train_step, eval_step = make_gan_steps(gen_tx, disc_tx)
+        train_step, eval_step = make_gan_steps(gen_tx, disc_tx, mesh=mesh2)
         gvars = jax.jit(Wav2LipGenerator().init)(
             jax.random.key(2),
             np.zeros((1, 5, 80, 16, 1), np.float32),
@@ -148,7 +167,7 @@ class TestGANStep:
         )
         gs = TrainState.create(gvars, gen_tx)
         ds = TrainState.create(dvars, disc_tx)
-        batch = shard_batch(mesh, w2l_batch)
+        batch = shard_batch(mesh2, w2l_batch)
 
         gs2, ds2, m = train_step(gs, ds, sync_vars, batch,
                                  np.float32(0.03), np.float32(0.07),
@@ -200,7 +219,7 @@ class TestCheckpointRoundtrip:
 
 
 class TestTrainerResume:
-    def test_resume_then_step(self, tmp_path, sync_batch):
+    def test_resume_then_step(self, tmp_path, sync_batch, mesh1):
         """Optimizer state must restore against the live-state template so a
         train step AFTER load() works — Orbax without a template returns
         optax namedtuples as dicts and tx.update crashes (round-1 advisor
@@ -211,13 +230,13 @@ class TestTrainerResume:
         from wav2lip_tpu.train.trainers import SyncNetTrainer
 
         mel, faces, y = sync_batch
-        t1 = SyncNetTrainer(rng_seed=0)
+        t1 = SyncNetTrainer(rng_seed=0, mesh=mesh1)
         t1.state, _ = t1.train_step(t1.state, *t1._shard((mel, faces, y)))
         t1.global_step, t1.global_epoch = 1, 2
         t1.save(str(tmp_path))
         path = ckpt.latest_checkpoint(str(tmp_path))
 
-        t2 = SyncNetTrainer(rng_seed=99)
+        t2 = SyncNetTrainer(rng_seed=99, mesh=mesh1)
         t2.load(path)  # reset_optimizer=False: opt_state must round-trip
         assert (t2.global_step, t2.global_epoch) == (1, 2)
         # restored opt_state keeps the optax pytree structure (adam mu/nu)
@@ -232,16 +251,16 @@ class TestTrainerResume:
         t2.state, m = t2.train_step(t2.state, *t2._shard((mel, faces, y)))
         assert np.isfinite(float(m["loss"]))
 
-    def test_reset_optimizer_load(self, tmp_path, sync_batch):
+    def test_reset_optimizer_load(self, tmp_path, sync_batch, mesh1):
         """reset_optimizer=True loads params only (frozen-expert semantics,
         wav2lip_train.py:365) and must work without a structure template."""
         from wav2lip_tpu.train import checkpoint as ckpt
         from wav2lip_tpu.train.trainers import SyncNetTrainer
 
         mel, faces, y = sync_batch
-        t1 = SyncNetTrainer(rng_seed=0)
+        t1 = SyncNetTrainer(rng_seed=0, mesh=mesh1)
         t1.save(str(tmp_path))
-        t2 = SyncNetTrainer(rng_seed=1)
+        t2 = SyncNetTrainer(rng_seed=1, mesh=mesh1)
         fresh_opt = t2.state.opt_state
         t2.load(ckpt.latest_checkpoint(str(tmp_path)), reset_optimizer=True,
                 overwrite_global_states=False)
@@ -251,7 +270,7 @@ class TestTrainerResume:
 
 
 class TestTrainerLoop:
-    def test_fit_metrics_epochs(self, tmp_path, sync_batch):
+    def test_fit_metrics_epochs(self, tmp_path, sync_batch, mesh1):
         """fit() writes JSONL metrics into the checkpoint dir and counts
         epochs via steps_per_epoch (reference global_epoch,
         wav2lip_train.py:299-304)."""
@@ -261,7 +280,7 @@ class TestTrainerLoop:
         from wav2lip_tpu.train.trainers import SyncNetTrainer
 
         mel, faces, y = sync_batch
-        t = SyncNetTrainer(rng_seed=0)
+        t = SyncNetTrainer(rng_seed=0, mesh=mesh1)
         it = itertools.repeat((faces, mel, y))  # fit expects (faces, mel, y)
         t.fit(iter(it), None, str(tmp_path), max_steps=3, steps_per_epoch=2)
         assert t.global_step == 3

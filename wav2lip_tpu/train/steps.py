@@ -1,10 +1,29 @@
 """Jitted training/eval step builders for the three pipelines.
 
-Each builder returns pure functions closed over the model definitions; data
-parallelism comes from input sharding — batches are placed with a batch-axis
-``NamedSharding`` over the mesh (wav2lip_tpu.parallel) and XLA's SPMD
-partitioner inserts the gradient all-reduce over ICI. The same compiled step
-runs on one chip or a pod slice.
+Each builder returns pure functions closed over the model definitions and
+comes in two flavours selected by the ``mesh`` argument:
+
+* ``mesh=None`` — a plain ``jax.jit`` program. Data parallelism, if any,
+  comes from input sharding: batches placed with a batch-axis
+  ``NamedSharding`` make XLA's SPMD partitioner insert the collectives.
+  Right for a single chip (no collectives at all).
+* ``mesh=Mesh(...)`` — an explicit ``jax.shard_map`` program over the 1-D
+  ``data`` axis. Each device computes gradients on its local batch shard,
+  and ALL cross-device communication is fused into ONE ``pmean`` of a single
+  flat vector (gradients ⊕ BatchNorm running stats ⊕ metrics — the classic
+  DDP flat-bucket layout). The SPMD-partitioner alternative emits one
+  collective per gradient tensor plus two per BatchNorm layer in the forward
+  (global-batch statistics): hundreds of small collectives per step, each
+  paying a rendezvous, which is measurable on ICI and catastrophic on
+  hosts with few cores (the driver's virtual-device dryrun). One fused
+  all-reduce rides ICI at full bandwidth instead.
+
+BatchNorm semantics on the mesh path are **per-replica** (statistics over the
+local shard, running stats averaged across devices after the step). This
+matches the reference checkpoints more closely than global-batch statistics:
+they were trained with ``torch.nn.DataParallel`` (inference.py:174-175),
+whose replicas also normalize per-GPU sub-batch. At mesh size 1 both paths
+are bit-identical.
 
 Loss compositions and update orders match the reference exactly:
 * SyncNet: BCE-on-cosine (color_syncnet_train.py:134-161);
@@ -26,13 +45,17 @@ is exactly zero.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
+from jax.flatten_util import ravel_pytree
+from jax.sharding import PartitionSpec as P
 
 from wav2lip_tpu.models import Wav2LipGenerator, SyncNet, QualityDiscriminator
+from wav2lip_tpu.parallel.mesh import DATA_AXIS
 from wav2lip_tpu.train.losses import (
     bce,
     cosine_bce_loss,
@@ -40,6 +63,73 @@ from wav2lip_tpu.train.losses import (
     fold_lower_half_for_syncnet,
 )
 from wav2lip_tpu.train.state import TrainState
+
+_REP = P()           # replicated: parameters, optimizer state, scalars
+_BATCH = P(DATA_AXIS)  # leading-axis sharded: batches, generated frames
+
+
+def _identity_reduce(*trees):
+    """mesh=None: XLA's partitioner owns any cross-device reduction."""
+    return trees if len(trees) > 1 else trees[0]
+
+
+def _fused_pmean(*trees):
+    """Average pytrees across the data axis in ONE collective: ravel every
+    tree into a single flat vector, ``pmean`` it, unravel."""
+    flats, unravels = [], []
+    for t in trees:
+        f, u = ravel_pytree(t)
+        flats.append(f)
+        unravels.append(u)
+    sizes = [f.size for f in flats]
+    # optimization barriers pin the single-buffer layout: without them XLA's
+    # simplifier rewrites AR(concat(xs)) back into concat(AR(xs)) — one
+    # collective per leaf (127 for SyncNet), re-creating the per-tensor
+    # rendezvous storm this fusion exists to avoid
+    combined = jax.lax.optimization_barrier(jnp.concatenate(flats))
+    combined = jax.lax.optimization_barrier(
+        jax.lax.pmean(combined, DATA_AXIS)
+    )
+    parts = (jnp.split(combined, list(np.cumsum(sizes))[:-1])
+             if len(sizes) > 1 else [combined])
+    out = tuple(u(p) for u, p in zip(unravels, parts))
+    return out if len(out) > 1 else out[0]
+
+
+def _wrap(mesh, body: Callable, in_specs, out_specs,
+          static_argnames: Tuple[str, ...] = ()):
+    """jit(body) when mesh is None, else jit(shard_map(body)).
+
+    ``body`` must accept a ``reduce`` kwarg — ``_fused_pmean`` on the mesh
+    path (local grads/stats/metrics, one collective), identity otherwise
+    (XLA SPMD reduces from the input shardings).
+    """
+    if mesh is None:
+        fn = functools.partial(body, reduce=_identity_reduce)
+        return jax.jit(fn, static_argnames=static_argnames)
+
+    # check_vma=False: with the check on, JAX's replication tracking makes
+    # the autodiff transpose of every replicated parameter insert its own
+    # per-tensor psum (125 extra all-reduces for SyncNet — the exact storm
+    # the fused reduce avoids). Off, gradients come out per-device partial
+    # and ``_fused_pmean`` is the one true collective.
+    if static_argnames:
+        def stepped(*args, **static_kw):
+            inner = functools.partial(body, reduce=_fused_pmean, **static_kw)
+            inner.__name__ = body.__name__  # stable jit/cache-entry name
+            return jax.shard_map(
+                inner, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=False,
+            )(*args)
+        stepped.__name__ = body.__name__
+        return jax.jit(stepped, static_argnames=static_argnames)
+
+    inner = functools.partial(body, reduce=_fused_pmean)
+    inner.__name__ = body.__name__
+    return jax.jit(jax.shard_map(
+        inner, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    ))
 
 
 def _apply_train(model, params, batch_stats, *args):
@@ -69,11 +159,10 @@ def _sync_loss(sync_model, sync_vars, mel, g):
 # ---------------------------------------------------------------------------
 
 
-def make_syncnet_steps(tx: optax.GradientTransformation):
+def make_syncnet_steps(tx: optax.GradientTransformation, mesh=None):
     model = SyncNet()
 
-    @jax.jit
-    def train_step(state: TrainState, mel, faces, y):
+    def train_body(state: TrainState, mel, faces, y, *, reduce):
         def loss_fn(params):
             (a, v), new_bs = _apply_train(model, params, state.batch_stats,
                                           mel, faces)
@@ -82,19 +171,22 @@ def make_syncnet_steps(tx: optax.GradientTransformation):
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        grads, new_bs, metrics = reduce(grads, new_bs, {"loss": loss})
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         return state.replace(
             params=optax.apply_updates(state.params, updates),
             batch_stats=new_bs,
             opt_state=opt_state,
             step=state.step + 1,
-        ), {"loss": loss}
+        ), metrics
 
-    @jax.jit
-    def eval_step(state: TrainState, mel, faces, y):
+    def eval_body(state: TrainState, mel, faces, y, *, reduce):
         a, v = model.apply(state.variables(), mel, faces, train=False)
-        return {"loss": cosine_bce_loss(a, v, y)}
+        return reduce({"loss": cosine_bce_loss(a, v, y)})
 
+    data3 = (_REP, _BATCH, _BATCH, _BATCH)
+    train_step = _wrap(mesh, train_body, data3, (_REP, _REP))
+    eval_step = _wrap(mesh, eval_body, data3, _REP)
     return train_step, eval_step
 
 
@@ -103,13 +195,12 @@ def make_syncnet_steps(tx: optax.GradientTransformation):
 # ---------------------------------------------------------------------------
 
 
-def make_wav2lip_steps(tx: optax.GradientTransformation):
+def make_wav2lip_steps(tx: optax.GradientTransformation, mesh=None):
     gen = Wav2LipGenerator()
     sync = SyncNet()
 
-    @functools.partial(jax.jit, static_argnames=("use_sync",))
-    def train_step(state: TrainState, sync_vars, batch: Dict[str, jax.Array],
-                   syncnet_wt, use_sync: bool):
+    def train_body(state: TrainState, sync_vars, batch: Dict[str, jax.Array],
+                   syncnet_wt, *, use_sync: bool, reduce):
         def loss_fn(params):
             g, new_bs = _apply_train(gen, params, state.batch_stats,
                                      batch["indiv_mels"], batch["x"])
@@ -124,6 +215,9 @@ def make_wav2lip_steps(tx: optax.GradientTransformation):
         (loss, (new_bs, l1, s, g)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        grads, new_bs, metrics = reduce(
+            grads, new_bs, {"loss": loss, "l1": l1, "sync": s}
+        )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         state = state.replace(
             params=optax.apply_updates(state.params, updates),
@@ -131,16 +225,19 @@ def make_wav2lip_steps(tx: optax.GradientTransformation):
             opt_state=opt_state,
             step=state.step + 1,
         )
-        return state, {"loss": loss, "l1": l1, "sync": s}, g
+        return state, metrics, g
 
-    @jax.jit
-    def eval_step(state: TrainState, sync_vars, batch):
+    def eval_body(state: TrainState, sync_vars, batch, *, reduce):
         g = gen.apply(state.variables(), batch["indiv_mels"], batch["x"],
                       train=False)
         l1 = l1_loss(g, batch["gt"])
         s = _sync_loss(sync, sync_vars, batch["mel"][..., None], g)
-        return {"l1": l1, "sync": s}
+        return reduce({"l1": l1, "sync": s})
 
+    train_step = _wrap(mesh, train_body, (_REP, _REP, _BATCH, _REP),
+                       (_REP, _REP, _BATCH),
+                       static_argnames=("use_sync",))
+    eval_step = _wrap(mesh, eval_body, (_REP, _REP, _BATCH), _REP)
     return train_step, eval_step
 
 
@@ -150,7 +247,7 @@ def make_wav2lip_steps(tx: optax.GradientTransformation):
 
 
 def make_gan_steps(gen_tx: optax.GradientTransformation,
-                   disc_tx: optax.GradientTransformation):
+                   disc_tx: optax.GradientTransformation, mesh=None):
     """The generator update and the discriminator update are two separately
     jitted programs chained by a host-side wrapper: the reference also runs
     them as two sequential optimizer steps (hq_wav2lip_train.py:221-256), the
@@ -162,9 +259,8 @@ def make_gan_steps(gen_tx: optax.GradientTransformation,
     sync = SyncNet()
     disc = QualityDiscriminator()
 
-    @functools.partial(jax.jit, static_argnames=("use_sync",))
-    def gen_step(gen_state: TrainState, disc_params, sync_vars, batch,
-                 syncnet_wt, disc_wt, use_sync: bool):
+    def gen_body(gen_state: TrainState, disc_params, sync_vars, batch,
+                 syncnet_wt, disc_wt, *, use_sync: bool, reduce):
         # generator update (hq_wav2lip_train.py:221-243)
         def gen_loss_fn(params):
             g, new_bs = _apply_train(gen, params, gen_state.batch_stats,
@@ -184,6 +280,10 @@ def make_gan_steps(gen_tx: optax.GradientTransformation,
         (gloss, (new_bs, l1, s, percep, g)), grads = jax.value_and_grad(
             gen_loss_fn, has_aux=True
         )(gen_state.params)
+        grads, new_bs, metrics = reduce(
+            grads, new_bs,
+            {"gen_loss": gloss, "l1": l1, "sync": s, "percep": percep},
+        )
         updates, opt_state = gen_tx.update(grads, gen_state.opt_state,
                                            gen_state.params)
         gen_state = gen_state.replace(
@@ -192,11 +292,9 @@ def make_gan_steps(gen_tx: optax.GradientTransformation,
             opt_state=opt_state,
             step=gen_state.step + 1,
         )
-        metrics = {"gen_loss": gloss, "l1": l1, "sync": s, "percep": percep}
         return gen_state, metrics, jax.lax.stop_gradient(g)
 
-    @jax.jit
-    def disc_step(disc_state: TrainState, gt, g_detached):
+    def disc_body(disc_state: TrainState, gt, g_detached, *, reduce):
         # discriminator update on real + detached fake
         # (hq_wav2lip_train.py:245-256: two backwards, one step)
         def disc_loss_fn(params):
@@ -209,6 +307,9 @@ def make_gan_steps(gen_tx: optax.GradientTransformation,
         (_, (real_loss, fake_loss)), dgrads = jax.value_and_grad(
             disc_loss_fn, has_aux=True
         )(disc_state.params)
+        dgrads, metrics = reduce(
+            dgrads, {"disc_real": real_loss, "disc_fake": fake_loss}
+        )
         dupdates, dopt_state = disc_tx.update(dgrads, disc_state.opt_state,
                                               disc_state.params)
         disc_state = disc_state.replace(
@@ -216,7 +317,13 @@ def make_gan_steps(gen_tx: optax.GradientTransformation,
             opt_state=dopt_state,
             step=disc_state.step + 1,
         )
-        return disc_state, {"disc_real": real_loss, "disc_fake": fake_loss}
+        return disc_state, metrics
+
+    gen_step = _wrap(mesh, gen_body,
+                     (_REP, _REP, _REP, _BATCH, _REP, _REP),
+                     (_REP, _REP, _BATCH),
+                     static_argnames=("use_sync",))
+    disc_step = _wrap(mesh, disc_body, (_REP, _BATCH, _BATCH), (_REP, _REP))
 
     def train_step(gen_state: TrainState, disc_state: TrainState, sync_vars,
                    batch, syncnet_wt, disc_wt, use_sync: bool):
@@ -232,21 +339,21 @@ def make_gan_steps(gen_tx: optax.GradientTransformation,
     train_step.gen_step = gen_step
     train_step.disc_step = disc_step
 
-    @jax.jit
-    def eval_step(gen_state: TrainState, disc_state: TrainState, sync_vars,
-                  batch):
+    def eval_body(gen_state: TrainState, disc_state: TrainState, sync_vars,
+                  batch, *, reduce):
         g = gen.apply(gen_state.variables(), batch["indiv_mels"], batch["x"],
                       train=False)
         l1 = l1_loss(g, batch["gt"])
         s = _sync_loss(sync, sync_vars, batch["mel"][..., None], g)
         pred_real = disc.apply({"params": disc_state.params}, batch["gt"])
         pred_fake = disc.apply({"params": disc_state.params}, g)
-        return {
+        return reduce({
             "l1": l1,
             "sync": s,
             "disc_real": bce(pred_real, jnp.ones_like(pred_real)),
             "disc_fake": bce(pred_fake, jnp.zeros_like(pred_fake)),
             "percep": bce(pred_fake, jnp.ones_like(pred_fake)),
-        }
+        })
 
+    eval_step = _wrap(mesh, eval_body, (_REP, _REP, _REP, _BATCH), _REP)
     return train_step, eval_step

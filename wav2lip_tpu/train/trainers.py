@@ -146,7 +146,9 @@ class SyncNetTrainer(_BaseTrainer):
         super().__init__(config, mesh, log_fn)
         tcfg = config.train
         self.tx = optax.adam(tcfg.syncnet_lr, b1=tcfg.adam_b1, b2=tcfg.adam_b2)
-        self.train_step, self.eval_step = make_syncnet_steps(self.tx)
+        self.train_step, self.eval_step = make_syncnet_steps(
+            self.tx, mesh=self.mesh
+        )
         model = SyncNet()
         variables = jax.jit(model.init)(
             jax.random.key(rng_seed),
@@ -260,11 +262,13 @@ class Wav2LipTrainer(_BaseTrainer):
             self.disc_state = TrainState.create(dvars, self.disc_tx)
             self.disc_wt = tcfg.disc_wt
             self.train_step, self.eval_step = make_gan_steps(
-                self.tx, self.disc_tx
+                self.tx, self.disc_tx, mesh=self.mesh
             )
             self.wt_after_trigger = 0.03  # hq_wav2lip_train.py:290
         else:
-            self.train_step, self.eval_step = make_wav2lip_steps(self.tx)
+            self.train_step, self.eval_step = make_wav2lip_steps(
+                self.tx, mesh=self.mesh
+            )
             self.wt_after_trigger = tcfg.syncnet_wt_after_trigger  # 0.01
 
     def _step(self, batch):
