@@ -132,3 +132,48 @@ class TestAnchorDecode:
         total = sum(h * w for h, w in sizes)
         assert scores.shape == (2, total)
         assert boxes.shape == (2, total, 4)
+
+
+class TestDetectorMesh:
+    def test_mesh_matches_single_device(self):
+        """Data-parallel detection over a 4-device mesh must produce the
+        same boxes as the single-device path (all per-frame math; the mesh
+        only splits the batch — the TPU-native analogue of the reference's
+        one-detector-per-GPU fan-out, preprocess.py:96-99)."""
+        import jax
+
+        from wav2lip_tpu.config import DEFAULT_CONFIG
+        from wav2lip_tpu.detect import FaceDetectionPipeline
+        from wav2lip_tpu.models import S3FD
+        from wav2lip_tpu.parallel import make_mesh
+
+        res = 128
+        det_vars = jax.jit(S3FD().init)(
+            jax.random.key(0), np.zeros((1, res, res, 3), np.float32)
+        )
+        r = np.random.default_rng(0)
+        frames = (r.random((8, res, res, 3)) * 255).astype(np.uint8)
+
+        single = FaceDetectionPipeline(det_vars, DEFAULT_CONFIG.detect,
+                                       batch_size=8)
+        mesh = make_mesh(jax.devices()[:4])
+        parallel = FaceDetectionPipeline(det_vars, DEFAULT_CONFIG.detect,
+                                         batch_size=8, mesh=mesh)
+        a = single.detect_batch(frames)
+        b = parallel.detect_batch(frames)
+        assert len(a) == len(b) == 8
+        for da, db in zip(a, b):
+            assert len(da) == len(db)
+            for ra, rb in zip(da, db):
+                np.testing.assert_allclose(ra, rb, rtol=1e-5, atol=1e-4)
+
+    def test_mesh_rejects_indivisible_batch(self):
+        import jax
+
+        from wav2lip_tpu.config import DEFAULT_CONFIG
+        from wav2lip_tpu.detect import FaceDetectionPipeline
+        from wav2lip_tpu.parallel import make_mesh
+
+        with pytest.raises(ValueError, match="must divide"):
+            FaceDetectionPipeline({}, DEFAULT_CONFIG.detect, batch_size=6,
+                                  mesh=make_mesh(jax.devices()[:4]))

@@ -111,6 +111,39 @@ class TestBoxInference:
             # identical up to codec noise
             assert np.abs(a.astype(int) - b.astype(int)).mean() < 2.0
 
+    def test_mesh_data_parallel_matches_single_device(self, gen_vars, media,
+                                                      tmp_path):
+        """Data-parallel generation over a 4-device mesh must produce output
+        frames identical to the single-device path (batch-parallel convs,
+        running-stat BN — no cross-sample math at inference)."""
+        from wav2lip_tpu.parallel import make_mesh
+
+        video, wav = media
+        ref_out = str(tmp_path / "ref.mp4")
+        pipe = LipSyncPipeline(gen_vars, detector=None,
+                               config=box_config(batch_size=16))
+        pipe.run(video, wav, ref_out, temp_dir=str(tmp_path / "tr"))
+
+        mesh = make_mesh(jax.devices()[:4])
+        mesh_out = str(tmp_path / "mesh.mp4")
+        mpipe = LipSyncPipeline(gen_vars, detector=None,
+                                config=box_config(batch_size=16), mesh=mesh)
+        mpipe.run(video, wav, mesh_out, temp_dir=str(tmp_path / "tm"))
+
+        ref_frames = read_all_frames(ref_out)
+        mesh_frames = read_all_frames(mesh_out)
+        assert len(ref_frames) == len(mesh_frames) == 22
+        for a, b in zip(ref_frames, mesh_frames):
+            assert np.abs(a.astype(int) - b.astype(int)).mean() < 2.0
+
+    def test_mesh_rejects_indivisible_batch(self, gen_vars):
+        from wav2lip_tpu.parallel import make_mesh
+
+        with pytest.raises(ValueError, match="must divide"):
+            LipSyncPipeline(gen_vars, detector=None,
+                            config=box_config(batch_size=6),
+                            mesh=make_mesh(jax.devices()[:4]))
+
     def test_tail_drop_chunking(self, gen_vars, media, tmp_path):
         """Eval-harness mode drops the final partial mel chunk instead of
         right-aligning it (gen_videos_from_filelist.py:178-183): one fewer

@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--temp_dir", default="temp")
     p.add_argument("--trace_dir", default=None,
                    help="capture a jax.profiler device trace here")
+    p.add_argument("--data_parallel", action="store_true", default=False,
+                   help="shard generation batches over ALL visible devices "
+                        "(1-D data mesh; wav2lip_batch_size must divide the "
+                        "device count)")
     return p
 
 
@@ -86,7 +90,11 @@ def main(argv=None) -> int:
         ),
     )
 
-    gen_vars = load_model_variables(args.checkpoint_path, import_generator)
+    try:
+        gen_vars = load_model_variables(args.checkpoint_path, import_generator)
+    except FileNotFoundError as e:
+        print(f"error: generator checkpoint not found: {e}", file=sys.stderr)
+        return 2
 
     detector = None
     if args.box[0] == -1:
@@ -109,7 +117,19 @@ def main(argv=None) -> int:
 
     from wav2lip_tpu.utils.profiling import device_trace
 
-    pipeline = LipSyncPipeline(gen_vars, detector=detector, config=cfg)
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from wav2lip_tpu.parallel import make_mesh
+
+        if len(jax.devices()) > 1:
+            mesh = make_mesh()
+            print(f"data-parallel generation over {len(jax.devices())} "
+                  f"devices")
+
+    pipeline = LipSyncPipeline(gen_vars, detector=detector, config=cfg,
+                               mesh=mesh)
     with device_trace(args.trace_dir):
         out = pipeline.run(
             args.face, args.audio, args.outfile,

@@ -31,7 +31,7 @@ from wav2lip_tpu.models.s3fd import S3FD
 from wav2lip_tpu.ops.anchors import decode_all_scales
 from wav2lip_tpu.ops.nms import batched_nms
 from wav2lip_tpu.utils.cache import enable_compile_cache
-from wav2lip_tpu.utils.transfer import put_sharded
+from wav2lip_tpu.utils.transfer import put_mesh_batch, put_sharded
 
 
 class FaceDetectionPipeline:
@@ -49,12 +49,27 @@ class FaceDetectionPipeline:
         batch_size: int = 16,
         dtype=jnp.float32,
         transfer_streams: int = 4,
+        mesh=None,
     ):
+        """``mesh``: optional 1-D mesh — detection batches shard over the
+        ``data`` axis and the whole detect graph (trunk, decode, top-K,
+        masked NMS: all per-frame math) partitions with zero collectives.
+        The TPU-native equivalent of the reference's one-detector-per-GPU
+        preprocessing fan-out (preprocess.py:25,32-33,96-99) within one
+        host; across hosts, shard the video list (cli/preprocess.py
+        --shard/--num_shards)."""
         enable_compile_cache()
         self.variables = variables
         self.cfg = cfg
         self.batch_size = batch_size
         self.dtype = dtype
+        self.mesh = mesh if (mesh is not None
+                             and mesh.devices.size > 1) else None
+        if self.mesh is not None and batch_size % self.mesh.devices.size:
+            raise ValueError(
+                f"batch_size {batch_size} must divide the "
+                f"{self.mesh.devices.size}-device mesh"
+            )
         self.streams = max(1, transfer_streams)
         self.model = S3FD()
         self._jit_detect = jax.jit(self._detect_fn)
@@ -109,7 +124,10 @@ class FaceDetectionPipeline:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:], np.uint8)]
                 )
-            parts = tuple(put_sharded(chunk, self.streams))
+            if self.mesh is not None:
+                parts = (put_mesh_batch(chunk, self.mesh),)
+            else:
+                parts = tuple(put_sharded(chunk, self.streams))
             boxes, scores, num = self._jit_detect(parts)
             boxes, scores, num = map(np.asarray, (boxes, scores, num))
             for j in range(min(self.batch_size, n - i)):

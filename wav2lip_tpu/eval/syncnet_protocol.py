@@ -303,11 +303,13 @@ def import_syncnet_python_checkpoint(path: str):
             ("dense", (scope, f"Dense_{first_dense + 1}")),
         ]
 
+    # each tower has 6 convs (each followed by BN); the FC head's BN is the
+    # tower scope's 7th BatchNorm (Flax numbers all BNs in one compact scope)
     plan = {
-        "netcnnaud": tower_paths("audio", 7),
-        "netfcaud": fc_paths("audio", 0, 7),
-        "netcnnlip": tower_paths("lip", 7),
-        "netfclip": fc_paths("lip", 0, 7),
+        "netcnnaud": tower_paths("audio", 6),
+        "netfcaud": fc_paths("audio", 0, 6),
+        "netcnnlip": tower_paths("lip", 6),
+        "netfclip": fc_paths("lip", 0, 6),
     }
 
     def _to_mutable(tree):

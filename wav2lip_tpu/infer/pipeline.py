@@ -62,7 +62,13 @@ from wav2lip_tpu.io.video import (
 from wav2lip_tpu.models import Wav2LipGenerator
 from wav2lip_tpu.utils.cache import enable_compile_cache
 from wav2lip_tpu.utils.profiling import StageTimer
-from wav2lip_tpu.utils.transfer import fetch_concat, put_sharded, split_sizes
+from wav2lip_tpu.utils.transfer import (
+    fetch_concat,
+    fetch_mesh_batch,
+    put_mesh_batch,
+    put_sharded,
+    split_sizes,
+)
 
 IMAGE_EXTS = (".jpg", ".jpeg", ".png")
 
@@ -185,7 +191,14 @@ class LipSyncPipeline:
         detector: Optional[FaceDetectionPipeline] = None,
         config: Config = DEFAULT_CONFIG,
         batch_size: Optional[int] = None,
+        mesh=None,
     ):
+        """``mesh``: optional 1-D ``jax.sharding.Mesh`` for data-parallel
+        generation — each batch is sharded over the ``data`` axis and the
+        generator forward partitions across chips with ZERO collectives
+        (batch-parallel convs; BN uses running stats at inference). Output
+        frames are bit-identical to the single-device path. The batch size
+        must divide the mesh."""
         enable_compile_cache()
         self.cfg = config
         self.detector = detector
@@ -193,7 +206,15 @@ class LipSyncPipeline:
         self.img_size = config.infer.img_size
         self.mel = MelFrontend(config.audio)
         self.model = Wav2LipGenerator()
-        self._streams = max(1, config.infer.transfer_streams)
+        self.mesh = mesh if (mesh is not None
+                             and mesh.devices.size > 1) else None
+        if self.mesh is not None and self.batch_size % self.mesh.devices.size:
+            raise ValueError(
+                f"wav2lip_batch_size {self.batch_size} must divide the "
+                f"{self.mesh.devices.size}-device mesh"
+            )
+        self._streams = (1 if self.mesh is not None
+                         else max(1, config.infer.transfer_streams))
         self.dtype = jnp.dtype(config.infer.compute_dtype)
         if self.dtype == jnp.float32:
             self.vars = generator_vars
@@ -546,17 +567,36 @@ class LipSyncPipeline:
                         _put(pred_q, (None, []))
                         break
                     with self.timings("generate"):
-                        # concurrent copy streams up, in-graph reassembly,
-                        # sharded outputs fetched concurrently back
-                        mel_parts = tuple(put_sharded(mels, self._streams))
-                        if isinstance(faces, np.ndarray):
-                            face_parts = tuple(
-                                put_sharded(faces, self._streams)
+                        if self.mesh is not None:
+                            # data-parallel path: batch-axis sharded global
+                            # arrays; per-device slices move concurrently
+                            mel_parts = (put_mesh_batch(mels, self.mesh),)
+                            if isinstance(faces, np.ndarray):
+                                face_parts = (
+                                    put_mesh_batch(faces, self.mesh),
+                                )
+                            else:  # static: replicated (1,...) crop
+                                face_parts = (faces,)
+                            pred_parts = self._jit_generate(
+                                mel_parts, face_parts
                             )
-                        else:  # static mode: already-device (1,...) crop
-                            face_parts = (faces,)
-                        pred_parts = self._jit_generate(mel_parts, face_parts)
-                        preds = fetch_concat(pred_parts)
+                            preds = fetch_mesh_batch(pred_parts[0])
+                        else:
+                            # concurrent copy streams up, in-graph
+                            # reassembly, sharded outputs fetched back
+                            mel_parts = tuple(
+                                put_sharded(mels, self._streams)
+                            )
+                            if isinstance(faces, np.ndarray):
+                                face_parts = tuple(
+                                    put_sharded(faces, self._streams)
+                                )
+                            else:  # static: already-device (1,...) crop
+                                face_parts = (faces,)
+                            pred_parts = self._jit_generate(
+                                mel_parts, face_parts
+                            )
+                            preds = fetch_concat(pred_parts)
                     if not _put(pred_q, (preds, crops)):
                         break
             except BaseException as e:  # noqa: BLE001 — repropagated in main
@@ -651,7 +691,16 @@ class LipSyncPipeline:
                             face = cv2.resize(
                                 self._static_frame[y1:y2, x1:x2], (size, size)
                             )
-                            static_face_dev = jax.device_put(face[None])
+                            if self.mesh is not None:
+                                from jax.sharding import NamedSharding
+                                from jax.sharding import PartitionSpec as _P
+
+                                static_face_dev = jax.device_put(
+                                    face[None],
+                                    NamedSharding(self.mesh, _P()),
+                                )
+                            else:
+                                static_face_dev = jax.device_put(face[None])
                         faces_in = static_face_dev
                     else:
                         faces_in = face_batch

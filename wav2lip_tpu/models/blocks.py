@@ -7,10 +7,11 @@ equivalents; all convs use explicit symmetric padding so shapes match the
 reference's integer-padding semantics exactly.
 
 TPU notes: NHWC is the native conv layout; BatchNorm folds into the conv at
-inference via XLA fusion; the transpose conv is implemented directly with
-``lax.conv_general_dilated`` + input dilation, which is the exact gradient-of-
-conv semantics of ``torch.nn.ConvTranspose2d`` (including ``output_padding``),
-avoiding the classic silent off-by-one of library transpose-conv wrappers.
+inference via XLA fusion; the transpose conv is implemented as an explicit
+interior-zero pad + plain stride-1 conv, which is the exact gradient-of-conv
+semantics of ``torch.nn.ConvTranspose2d`` (including ``output_padding``),
+avoiding the classic silent off-by-one of library transpose-conv wrappers —
+and keeping autodiff off XLA:CPU's slow dilated-conv gradient path.
 """
 
 from __future__ import annotations
@@ -122,13 +123,29 @@ class TorchConvTranspose(nn.Module):
         bias = self.param(
             "bias", jax.nn.initializers.zeros, (self.features,)
         )
+        # The fractional stride is materialized as an explicit interior-
+        # zero pad (lax.pad interior=stride-1) followed by a PLAIN stride-1
+        # conv, rather than passing lhs_dilation to the conv. Numerically
+        # bit-identical (the inserted zeros contribute nothing), but it keeps
+        # every conv in both the forward AND the autodiff-generated backward
+        # pass on the fast non-dilated path: XLA:CPU's kernel-gradient of an
+        # lhs-dilated conv falls off the eigen fast path and runs ~180x
+        # slower (measured 62.8s vs 0.35s on a 24x24x256 layer), which made
+        # CPU-hosted training steps and the multi-chip dryrun pathologically
+        # slow. On TPU the pad fuses into the conv and the MXU work is the
+        # same either way.
+        pad_cfg = [
+            (0, 0, 0),
+            (kh - 1 - ph, kh - 1 - ph + oph, sh - 1),
+            (kw - 1 - pw, kw - 1 - pw + opw, sw - 1),
+            (0, 0, 0),
+        ]
+        xp = jax.lax.pad(x, jnp.zeros((), x.dtype), pad_cfg)
         out = jax.lax.conv_general_dilated(
-            x,
+            xp,
             kernel,
             window_strides=(1, 1),
-            padding=[(kh - 1 - ph, kh - 1 - ph + oph),
-                     (kw - 1 - pw, kw - 1 - pw + opw)],
-            lhs_dilation=(sh, sw),
+            padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         return out + bias

@@ -34,8 +34,15 @@ def save_checkpoint(
     path = os.path.abspath(
         os.path.join(ckpt_dir, f"{prefix}checkpoint_step{step:09d}")
     )
+    # Fetch device-resident leaves CONCURRENTLY before handing the tree to
+    # Orbax: a serial per-leaf np.asarray pays one device→host round trip
+    # per tensor, which over a high-latency device tunnel turned a 145 MB
+    # save into minutes (measured 469 s for the 36M-param generator; ~2 s
+    # with the pooled fetch).
+    from wav2lip_tpu.utils.transfer import fetch_tree
+
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, jax.tree.map(np.asarray, payload), force=True)
+        ckptr.save(path, fetch_tree(payload), force=True)
     return path
 
 
@@ -56,7 +63,10 @@ def checkpoint_has_opt_state(path: str) -> bool:
     try:
         with ocp.PyTreeCheckpointer() as ckptr:
             meta = ckptr.metadata(os.path.abspath(path))
-        tree = getattr(meta, "tree", meta)
+        # StepMetadata.item_metadata is a tree-metadata view whose ``.tree``
+        # is the saved pytree with ArrayMetadata leaves
+        tree = getattr(meta, "item_metadata", meta)
+        tree = getattr(tree, "tree", tree)
         if isinstance(tree, dict):
             sub = tree.get("opt_state")
         else:

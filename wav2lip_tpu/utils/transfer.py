@@ -54,6 +54,86 @@ def put_sharded(arr: np.ndarray, streams: int = _DEFAULT_STREAMS,
     return [f.result() for f in futs]
 
 
+def put_mesh_batch(arr: np.ndarray, mesh) -> jax.Array:
+    """Upload ``arr`` as a batch-axis-sharded global array on a 1-D mesh.
+
+    Per-device slices move concurrently from the thread pool (same
+    latency-hiding as :func:`put_sharded`, one stream per device), then
+    assemble into one logical array whose sharding drives XLA's SPMD
+    batch-parallel partitioning. ``len(arr)`` must divide the mesh.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    devices = list(mesh.devices.flat)
+    n = len(devices)
+    if len(arr) % n:
+        raise ValueError(f"batch {len(arr)} not divisible by {n} devices")
+    parts = np.split(arr, n)
+    pool = _get_pool()
+    futs = [pool.submit(jax.device_put, p, d)
+            for p, d in zip(parts, devices)]
+    shards = [f.result() for f in futs]
+    sharding = NamedSharding(
+        mesh, P(mesh.axis_names[0], *([None] * (arr.ndim - 1)))
+    )
+    return jax.make_array_from_single_device_arrays(
+        arr.shape, sharding, shards
+    )
+
+
+def fetch_mesh_batch(arr: jax.Array) -> np.ndarray:
+    """Fetch a batch-axis-sharded global array: per-device shards copy
+    concurrently and reassemble in index order on the host."""
+    shards = sorted(arr.addressable_shards, key=lambda s: s.index[0].start or 0)
+    return fetch_concat([s.data for s in shards])
+
+
+def fetch_tree(tree):
+    """Fetch every device-resident leaf of a pytree to host numpy.
+
+    A serial ``jax.tree.map(np.asarray, ...)`` pays one device→host round
+    trip per tensor — minutes for a 302-leaf model over a high-latency
+    tunnel (measured 469 s), and per-leaf threading is still latency-bound
+    (32-70 s). Instead the leaves are raveled+concatenated ON DEVICE into
+    one flat buffer per dtype, fetched as 8 large concurrent streams
+    (bandwidth-bound), and re-split/reshaped on the host (~10 s)."""
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree.flatten(tree)
+    by_dtype = {}
+    for i, x in enumerate(leaves):
+        if isinstance(x, jax.Array):
+            by_dtype.setdefault(np.dtype(x.dtype), []).append(i)
+    out = [x if isinstance(x, jax.Array) else np.asarray(x) for x in leaves]
+    for idxs in by_dtype.values():
+        group = [leaves[i] for i in idxs]
+        total = sum(int(x.size) for x in group)
+        chunks = _jit_concat_split(tuple(group),
+                                   tuple(split_sizes(total, 8)))
+        host_flat = fetch_concat(chunks)
+        offsets = np.cumsum([int(x.size) for x in group])[:-1]
+        for i, arr in zip(idxs, np.split(host_flat, offsets)):
+            out[i] = arr.reshape(leaves[i].shape)
+    return jax.tree.unflatten(treedef, out)
+
+
+def _jit_concat_split(group, sizes):
+    """Ravel+concat a tuple of same-dtype device arrays into ``len(sizes)``
+    flat chunks, on device, in one jitted program (cached per signature)."""
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fn(xs):
+        flat = jnp.concatenate([jnp.ravel(x) for x in xs])
+        off, outs = 0, []
+        for s in sizes:
+            outs.append(jax.lax.dynamic_slice_in_dim(flat, off, s))
+            off += s
+        return tuple(outs)
+
+    return fn(group)
+
+
 def fetch_concat(shards: Sequence[jax.Array]) -> np.ndarray:
     """Fetch device shards concurrently and reassemble on the host."""
     if len(shards) == 1:
