@@ -214,13 +214,16 @@ def _train_bench(steps=8, batch=16):
 
     train_step, _ = make_gan_steps(gen_tx, disc_tx)
     rng = np.random.default_rng(0)
-    batch_data = {
+    # batch uploaded ONCE: this leg measures step compute (the input
+    # pipeline overlaps uploads in real training and the link here is a
+    # high-latency tunnel that would otherwise dominate the number)
+    batch_data = jax.device_put({
         "x": rng.random((batch, T, S, S, 6), np.float32),
         "indiv_mels": rng.standard_normal(
             (batch, T, 80, 16, 1)).astype(np.float32),
         "mel": rng.standard_normal((batch, 80, 16)).astype(np.float32),
         "gt": rng.random((batch, T, S, S, 3), np.float32),
-    }
+    })
     wt, dwt = np.float32(0.03), np.float32(0.07)
 
     # warmup/compile

@@ -58,8 +58,17 @@ class TestRawAVIWriter:
             with pytest.raises(ValueError, match="frame shape"):
                 w.write(np.zeros((17, 16, 3), np.uint8))
 
-    def test_factory_default_is_raw(self, tmp_path):
+    def test_factory_default_is_mjpeg(self, tmp_path):
+        """Default intermediate: MJPG (compact, disk-safe; per-frame encode
+        fans out across the composite pool). Raw stays selectable."""
+        from wav2lip_tpu.io.video import MJPEGWriter
+
         w = make_frame_writer(str(tmp_path / "d.avi"), 25.0, (16, 16))
+        assert isinstance(w, MJPEGWriter)
+        w.write(np.zeros((16, 16, 3), np.uint8))
+        w.close()
+        w = make_frame_writer(str(tmp_path / "r.avi"), 25.0, (16, 16),
+                              codec="raw")
         assert isinstance(w, RawAVIWriter)
         w.write(np.zeros((16, 16, 3), np.uint8))
         w.close()

@@ -114,12 +114,13 @@ class InferConfig:
     smooth_window: int = 5  # bbox temporal smoothing T (inference.py:102)
     img_size: int = 96
     # -- TPU-native performance knobs (no reference equivalent) --
-    # intermediate video codec: "raw" = uncompressed BGR24 AVI (zero encode
-    # CPU — when ffmpeg muxes the audio it re-encodes anyway, so compressing
-    # the intermediate is wasted work; ~6 MB/frame at 1080p), "mjpeg" =
-    # direct MJPG-AVI writer (compact, ~5 ms/frame encode), or any cv2
-    # fourcc ("DIVX" for reference parity, "mp4v", ...)
-    codec: str = "raw"
+    # intermediate video codec: "mjpeg" = direct MJPG-AVI writer (compact;
+    # the ~5 ms/frame JPEG fans out across the composite thread pool, and
+    # ~0.3 MB/frame never outruns the disk), "raw" = uncompressed BGR24 AVI
+    # (zero encode CPU but 6 MB/frame — 1080p25 needs a ≥155 MB/s sink or
+    # writes block on disk writeback), or any cv2 fourcc ("DIVX" for
+    # reference parity, "mp4v", ...)
+    codec: str = "mjpeg"
     jpeg_quality: int = 90
     # generator compute dtype on device; bfloat16 is TPU-native and visually
     # indistinguishable after the *255 uint8 quantization ("float32" opts out)

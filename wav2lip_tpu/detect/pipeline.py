@@ -31,7 +31,7 @@ from wav2lip_tpu.models.s3fd import S3FD
 from wav2lip_tpu.ops.anchors import decode_all_scales
 from wav2lip_tpu.ops.nms import batched_nms
 from wav2lip_tpu.utils.cache import enable_compile_cache
-from wav2lip_tpu.utils.transfer import put_mesh_batch, put_sharded
+from wav2lip_tpu.utils.transfer import put_mesh_batch, put_sharded, put_tree
 
 
 class FaceDetectionPipeline:
@@ -59,7 +59,6 @@ class FaceDetectionPipeline:
         host; across hosts, shard the video list (cli/preprocess.py
         --shard/--num_shards)."""
         enable_compile_cache()
-        self.variables = variables
         self.cfg = cfg
         self.batch_size = batch_size
         self.dtype = dtype
@@ -72,9 +71,13 @@ class FaceDetectionPipeline:
             )
         self.streams = max(1, transfer_streams)
         self.model = S3FD()
+        # weights up ONCE as a fused transfer, passed to the jitted detect as
+        # an argument — closure constants would be fetched leaf-by-leaf at
+        # lowering time and baked into every cached executable
+        self.variables = put_tree(variables, mesh=self.mesh)
         self._jit_detect = jax.jit(self._detect_fn)
 
-    def _detect_fn(self, image_parts):
+    def _detect_fn(self, variables, image_parts):
         """Batch-axis shards of (B, H, W, 3) uint8 BGR →
         (boxes (B,K,4), scores (B,K), num (B,)).
 
@@ -89,7 +92,7 @@ class FaceDetectionPipeline:
         mean = jnp.asarray(cfg.mean_bgr, self.dtype)
         x = x - mean
 
-        heads = self.model.apply(self.variables, x)
+        heads = self.model.apply(variables, x)
         scores, boxes = decode_all_scales(heads, cfg.variances)
 
         k = min(cfg.max_candidates, scores.shape[1])
@@ -128,7 +131,7 @@ class FaceDetectionPipeline:
                 parts = (put_mesh_batch(chunk, self.mesh),)
             else:
                 parts = tuple(put_sharded(chunk, self.streams))
-            boxes, scores, num = self._jit_detect(parts)
+            boxes, scores, num = self._jit_detect(self.variables, parts)
             boxes, scores, num = map(np.asarray, (boxes, scores, num))
             for j in range(min(self.batch_size, n - i)):
                 k = int(num[j])

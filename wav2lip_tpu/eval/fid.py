@@ -333,15 +333,21 @@ class FIDScorer:
         self.streams = max(1, transfer_streams)
         if feature_fn is not None:
             self._feature_fn = feature_fn
+            self._dev_vars = None
         else:
             if variables is None:
                 raise ValueError(
                     "FIDScorer needs InceptionV3FID variables or a feature_fn"
                 )
-            model = InceptionV3FID()
-            self._feature_fn = lambda x: model.apply(variables, x)
+            from wav2lip_tpu.utils.transfer import put_tree
 
-        def embed(parts):
+            model = InceptionV3FID()
+            # weights up once, passed as a jit argument (closure constants
+            # get re-fetched at lowering and baked into cached executables)
+            self._dev_vars = put_tree(variables)
+            self._feature_fn = lambda v, x: model.apply(v, x)
+
+        def embed(variables, parts):
             x = (parts[0] if len(parts) == 1
                  else jnp.concatenate(parts, axis=0))
             x = x.astype(jnp.float32) / 255.0  # uint8 BGR frames
@@ -350,7 +356,9 @@ class FIDScorer:
                 x, (x.shape[0], self.input_size, self.input_size, 3),
                 method="bilinear",
             )
-            return self._feature_fn(x)
+            if self._dev_vars is None:  # caller-supplied feature_fn
+                return self._feature_fn(x)
+            return self._feature_fn(variables, x)
 
         self._jit_embed = jax.jit(embed)
 
@@ -367,7 +375,7 @@ class FIDScorer:
                     [chunk, np.zeros((pad,) + chunk.shape[1:], np.uint8)]
                 )
             parts = tuple(put_sharded(chunk, self.streams))
-            feats = np.asarray(self._jit_embed(parts))
+            feats = np.asarray(self._jit_embed(self._dev_vars, parts))
             out.append(feats[: min(self.batch_size, n - i)])
         return np.concatenate(out)
 

@@ -50,15 +50,19 @@ class LSEResult:
 class LSEScorer:
     def __init__(self, sync_vars, config: Config = DEFAULT_CONFIG,
                  vshift: int = 15, batch_size: int = 64):
+        from wav2lip_tpu.utils.transfer import put_tree
+
         enable_compile_cache()
-        self.vars = sync_vars
+        # weights up once, passed as a jit argument (closure constants get
+        # re-fetched at lowering and baked into cached executables)
+        self.vars = put_tree(sync_vars)
         self.cfg = config
         self.vshift = vshift
         self.batch_size = batch_size
         self.mel = MelFrontend(config.audio)
         self.model = SyncNet()
         self._jit_embed = jax.jit(
-            lambda mels, faces: self.model.apply(self.vars, mels, faces)
+            lambda v, mels, faces: self.model.apply(v, mels, faces)
         )
 
     # -- embedding ------------------------------------------------------------
@@ -101,7 +105,7 @@ class LSEScorer:
             if pad:
                 fa = np.concatenate([fa, np.zeros((pad,) + fa.shape[1:], fa.dtype)])
                 me = np.concatenate([me, np.zeros((pad,) + me.shape[1:], me.dtype)])
-            a, v = self._jit_embed(me, fa)
+            a, v = self._jit_embed(self.vars, me, fa)
             a_out.append(np.asarray(a)[: len(faces[i : i + bs])])
             v_out.append(np.asarray(v)[: len(faces[i : i + bs])])
         return np.concatenate(a_out), np.concatenate(v_out)

@@ -405,13 +405,17 @@ class SyncNetPythonScorer:
     """
 
     def __init__(self, variables, vshift: int = 15, batch_size: int = 64):
+        from wav2lip_tpu.utils.transfer import put_tree
+
         enable_compile_cache()
-        self.vars = variables
+        # weights up once, passed as a jit argument (not closure constants —
+        # those are re-fetched at lowering and baked into cached executables)
+        self.vars = put_tree(variables)
         self.vshift = vshift
         self.batch_size = batch_size
         self.model = ProtocolSyncNet()
         self._jit_embed = jax.jit(
-            lambda m, f: self.model.apply(self.vars, m, f)
+            lambda v, m, f: self.model.apply(v, m, f)
         )
 
     @classmethod
@@ -453,7 +457,7 @@ class SyncNetPythonScorer:
                     [m, np.zeros((bs - k,) + m.shape[1:], m.dtype)])
                 f = np.concatenate(
                     [f, np.zeros((bs - k,) + f.shape[1:], f.dtype)])
-            a, v = self._jit_embed(m, f)
+            a, v = self._jit_embed(self.vars, m, f)
             a_out.append(np.asarray(a)[:k])
             v_out.append(np.asarray(v)[:k])
         return np.concatenate(a_out), np.concatenate(v_out)

@@ -20,14 +20,17 @@ host, inference.py:249-272):
 * bfloat16 generator compute by default (``infer.compute_dtype``) — TPU-native
   and invisible after the *255 uint8 quantization;
 * static mode uploads the single face crop once and broadcasts on device;
+* eager device dispatch: two batches in flight, so batch k+1 uploads and
+  computes while batch k's output crosses back to the host;
 * streaming decode: when boxes are known without random access (fixed
   ``--box`` on a long clip) frames are decoded as needed and freed after
   compositing instead of materializing the whole clip in RAM;
-* the intermediate video defaults to uncompressed BGR24 AVI
-  (io.video.RawAVIWriter) — zero per-frame encode CPU; ffmpeg re-encodes at
-  mux time anyway (inference.py:276-277), so compressing the intermediate is
-  wasted work. ``infer.codec="mjpeg"`` gets a compact MJPG-AVI intermediate,
-  ``"DIVX"`` bit-identical reference behavior.
+* composite AND per-frame JPEG encode fan out across a thread pool (both
+  are frame-independent and release the GIL); only the ordered container
+  writes stay serial. The intermediate defaults to a direct MJPG-AVI writer
+  (io.video.MJPEGWriter) — compact enough to never outrun the disk;
+  ``infer.codec="raw"`` gets lossless BGR24 (zero encode CPU, needs a
+  ≥155 MB/s sink at 1080p25), ``"DIVX"`` bit-identical reference behavior.
 
 Behavioral parity preserved: pads/box/static/resize_factor/rotate/crop/
 nosmooth flags, bbox smoothing window of 5, mel NaN guard, frame truncation
@@ -67,6 +70,7 @@ from wav2lip_tpu.utils.transfer import (
     fetch_mesh_batch,
     put_mesh_batch,
     put_sharded,
+    put_tree,
     split_sizes,
 )
 
@@ -225,15 +229,22 @@ class LipSyncPipeline:
                 else x,
                 generator_vars,
             )
+        # weights go up ONCE as a fused transfer and are passed to the jitted
+        # step as an ARGUMENT. Closing over them would embed them as program
+        # constants: lowering then fetches every device-resident leaf back to
+        # the host one at a time (minutes over a high-latency link) and bakes
+        # ~70-145 MB into each compiled executable / compile-cache entry.
+        self.vars = put_tree(self.vars, mesh=self.mesh)
         self._jit_generate = jax.jit(self._generate_fn)
         self.timings = StageTimer()  # per-stage wall time of the last run
 
     # -- device step ---------------------------------------------------------
 
-    def _generate_fn(self, mel_parts, face_parts):
+    def _generate_fn(self, variables, mel_parts, face_parts):
         """Batch-axis shards of (B, 80, 16) mel windows + (B or 1, 96, 96, 3)
         uint8 face crops → batch-axis shards of (B, 96, 96, 3) uint8
-        generated crops.
+        generated crops. ``variables`` are a jit argument, not a closure
+        constant (see __init__).
 
         Inputs/outputs are sharded so the host moves them over concurrent
         copy streams (utils.transfer); reassembly is in-graph. Masking the
@@ -255,7 +266,7 @@ class LipSyncPipeline:
         masked = faces.at[:, h:, :, :].set(0.0)
         x = jnp.concatenate([masked, faces], axis=-1)
         mel_in = mels[..., None].astype(self.dtype)  # (B, 80, 16, 1)
-        out = self.model.apply(self.vars, mel_in, x)
+        out = self.model.apply(variables, mel_in, x)
         out_u8 = jnp.clip(
             out.astype(jnp.float32) * 255.0, 0, 255
         ).astype(jnp.uint8)
@@ -556,7 +567,37 @@ class LipSyncPipeline:
                     continue
             return None
 
+        def dispatch_batch(faces, mels):
+            """Upload one batch and dispatch the generator; returns the
+            un-fetched device output (jit dispatch is async)."""
+            if self.mesh is not None:
+                # data-parallel path: batch-axis sharded global arrays;
+                # per-device slices move concurrently
+                mel_parts = (put_mesh_batch(mels, self.mesh),)
+                if isinstance(faces, np.ndarray):
+                    face_parts = (put_mesh_batch(faces, self.mesh),)
+                else:  # static: replicated (1,...) crop
+                    face_parts = (faces,)
+            else:
+                # concurrent copy streams up, in-graph reassembly
+                mel_parts = tuple(put_sharded(mels, self._streams))
+                if isinstance(faces, np.ndarray):
+                    face_parts = tuple(put_sharded(faces, self._streams))
+                else:  # static: already-device (1,...) crop
+                    face_parts = (faces,)
+            return self._jit_generate(self.vars, mel_parts, face_parts)
+
+        def fetch_preds(pred_parts) -> np.ndarray:
+            if self.mesh is not None:
+                return fetch_mesh_batch(pred_parts[0])
+            return fetch_concat(pred_parts)
+
         def device_worker():
+            # eager dispatch, two batches in flight: batch k+1 uploads and
+            # computes while batch k's output crosses back to the host, so
+            # the link runs both directions at once and the device never
+            # idles between batches
+            pending = None  # (un-fetched device output, crops)
             try:
                 while True:
                     item = _get(prep_q)
@@ -564,41 +605,21 @@ class LipSyncPipeline:
                         break
                     faces, mels, crops = item
                     if not crops:  # sentinel: pass through without running
-                        _put(pred_q, (None, []))
                         break
                     with self.timings("generate"):
-                        if self.mesh is not None:
-                            # data-parallel path: batch-axis sharded global
-                            # arrays; per-device slices move concurrently
-                            mel_parts = (put_mesh_batch(mels, self.mesh),)
-                            if isinstance(faces, np.ndarray):
-                                face_parts = (
-                                    put_mesh_batch(faces, self.mesh),
-                                )
-                            else:  # static: replicated (1,...) crop
-                                face_parts = (faces,)
-                            pred_parts = self._jit_generate(
-                                mel_parts, face_parts
-                            )
-                            preds = fetch_mesh_batch(pred_parts[0])
-                        else:
-                            # concurrent copy streams up, in-graph
-                            # reassembly, sharded outputs fetched back
-                            mel_parts = tuple(
-                                put_sharded(mels, self._streams)
-                            )
-                            if isinstance(faces, np.ndarray):
-                                face_parts = tuple(
-                                    put_sharded(faces, self._streams)
-                                )
-                            else:  # static: already-device (1,...) crop
-                                face_parts = (faces,)
-                            pred_parts = self._jit_generate(
-                                mel_parts, face_parts
-                            )
-                            preds = fetch_concat(pred_parts)
-                    if not _put(pred_q, (preds, crops)):
-                        break
+                        dispatched = (dispatch_batch(faces, mels), crops)
+                        if pending is not None:
+                            preds, pcrops = fetch_preds(pending[0]), pending[1]
+                            pending = None
+                            if not _put(pred_q, (preds, pcrops)):
+                                return
+                        pending = dispatched
+                if pending is not None:
+                    with self.timings("generate"):
+                        preds, pcrops = fetch_preds(pending[0]), pending[1]
+                    pending = None
+                    _put(pred_q, (preds, pcrops))
+                _put(pred_q, (None, []))
             except BaseException as e:  # noqa: BLE001 — repropagated in main
                 errors.append(e)
                 try:
@@ -608,6 +629,38 @@ class LipSyncPipeline:
 
         def writer_worker():
             nonlocal static_canvas
+            from concurrent.futures import ThreadPoolExecutor
+
+            def composite_encode_one(writer, pred, c):
+                """Paste one predicted mouth patch into its frame and encode
+                it to the writer's chunk payload (stateless per frame)."""
+                y1, y2, x1, x2 = c.coords
+                with self.timings("composite"):
+                    out = c.frame if c.owns_frame else c.frame.copy()
+                    # resize straight into the frame view — skips the
+                    # intermediate patch buffer; cv2 honors a strided dst of
+                    # matching shape (falls back to copy when it reallocates)
+                    view = out[y1:y2, x1:x2]
+                    res = cv2.resize(pred, (x2 - x1, y2 - y1), dst=view)
+                    if not np.shares_memory(res, out):
+                        view[:] = res
+                with self.timings("encode"):
+                    return writer.encode_frame(out)
+
+            # composite AND per-frame encode are frame-independent (each
+            # pastes into its own decoded frame; encode_frame is stateless)
+            # and cv2 releases the GIL in both, so fan them out to a small
+            # pool and keep only the ordered container WRITES serial. On a
+            # one-core host this degenerates to the serial loop; on the
+            # multi-core hosts the bench runs on it takes composite+encode
+            # off the serial writer path entirely (the reference composites
+            # and writes serially per frame, inference.py:267-272). Static
+            # mode shares one canvas across outputs — inherently sequential
+            # — and keeps the inline path.
+            pool = ThreadPoolExecutor(
+                max_workers=min(4, os.cpu_count() or 1),
+                thread_name_prefix="w2l-composite",
+            )
             try:
                 writer = make_frame_writer(
                     tmp_video, video_fps, frame_hw,
@@ -621,36 +674,41 @@ class LipSyncPipeline:
                         preds, crops = item
                         if not crops:
                             break
-                        for j, c in enumerate(crops):
-                            y1, y2, x1, x2 = c.coords
-                            with self.timings("composite"):
-                                if c.frame is None:  # static: one canvas,
-                                    if static_canvas is None:  # same coords
+                        if crops[0].frame is None:  # static: one canvas
+                            for j, c in enumerate(crops):
+                                y1, y2, x1, x2 = c.coords
+                                with self.timings("composite"):
+                                    if static_canvas is None:
                                         static_canvas = (
                                             self._static_frame.copy()
                                         )
-                                    out = static_canvas
-                                elif c.owns_frame:
-                                    out = c.frame
-                                else:
-                                    out = c.frame.copy()
-                                # resize straight into the frame view —
-                                # skips the intermediate patch buffer; cv2
-                                # honors a strided dst of matching shape
-                                # (falls back to copy when it reallocates)
-                                view = out[y1:y2, x1:x2]
-                                res = cv2.resize(
-                                    preds[j], (x2 - x1, y2 - y1), dst=view
-                                )
-                                if not np.shares_memory(res, out):
-                                    view[:] = res
-                            with self.timings("encode"):
-                                writer.write(out)
+                                    view = static_canvas[y1:y2, x1:x2]
+                                    res = cv2.resize(
+                                        preds[j], (x2 - x1, y2 - y1),
+                                        dst=view,
+                                    )
+                                    if not np.shares_memory(res,
+                                                            static_canvas):
+                                        view[:] = res
+                                with self.timings("encode"):
+                                    writer.write(static_canvas)
+                                written[0] += 1
+                            continue
+                        futs = [
+                            pool.submit(composite_encode_one, writer,
+                                        preds[j], c)
+                            for j, c in enumerate(crops)
+                        ]
+                        for f in futs:
+                            with self.timings("write"):
+                                writer.write_encoded(f.result())
                             written[0] += 1
                 finally:
                     writer.close()
             except BaseException as e:  # noqa: BLE001 — repropagated in main
                 errors.append(e)
+            finally:
+                pool.shutdown(wait=False, cancel_futures=True)
 
         dev_t = threading.Thread(target=device_worker, daemon=True)
         wri_t = threading.Thread(target=writer_worker, daemon=True)

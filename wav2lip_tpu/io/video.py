@@ -26,6 +26,14 @@ import subprocess
 import tempfile
 from typing import Iterator, List, Optional, Tuple
 
+# Let ffmpeg-backed VideoCapture use its frame-threaded decoder (threads;0 =
+# one per core). OpenCV's default is a single decode thread, which makes
+# 1080p H.264 decode the serial floor of the whole inference pipeline
+# (~3.3 ms/frame single-threaded). Read at capture-open time; setdefault
+# respects a caller's own setting. Must be set before cv2 opens a capture —
+# importing this module is the chokepoint for every reader in the package.
+os.environ.setdefault("OPENCV_FFMPEG_CAPTURE_OPTIONS", "threads;0")
+
 import cv2
 import numpy as np
 
@@ -132,6 +140,14 @@ class VideoFrameWriter:
             raise ValueError(f"could not open video writer: {path}")
 
     def write(self, frame_bgr: np.ndarray) -> None:
+        self._writer.write(frame_bgr)
+
+    # split encode/write API parity (cv2 encodes inside write; the "encoded
+    # payload" is the frame itself)
+    def encode_frame(self, frame_bgr: np.ndarray) -> np.ndarray:
+        return frame_bgr
+
+    def write_encoded(self, frame_bgr: np.ndarray) -> None:
         self._writer.write(frame_bgr)
 
     def close(self) -> None:
@@ -252,8 +268,18 @@ class _AVIWriterBase:
         self._movi_bytes += 8 + padded
         self._max_chunk = max(self._max_chunk, size)
 
-    def write(self, frame_bgr: np.ndarray) -> None:
+    def encode_frame(self, frame_bgr: np.ndarray):
+        """Turn one BGR frame into its chunk payload — pure CPU work with no
+        container state, safe to fan out across threads; only
+        :meth:`write_encoded` must stay ordered."""
         raise NotImplementedError
+
+    def write_encoded(self, payload) -> None:
+        """Append one pre-encoded frame payload (ordered)."""
+        self._append_chunk(payload)
+
+    def write(self, frame_bgr: np.ndarray) -> None:
+        self.write_encoded(self.encode_frame(frame_bgr))
 
     def close(self) -> None:
         if self._closed:
@@ -306,30 +332,27 @@ class MJPEGWriter(_AVIWriterBase):
         self.quality = int(quality)
         super().__init__(path, fps, frame_size_hw)
 
-    def write_encoded(self, jpeg_bytes: bytes) -> None:
-        """Append one pre-encoded JPEG frame."""
-        self._append_chunk(jpeg_bytes)
-
-    def write(self, frame_bgr: np.ndarray) -> None:
+    def encode_frame(self, frame_bgr: np.ndarray) -> bytes:
         ok, buf = cv2.imencode(
             ".jpg", frame_bgr, [cv2.IMWRITE_JPEG_QUALITY, self.quality]
         )
         if not ok:
             raise ValueError("JPEG encode failed")
-        self.write_encoded(buf.tobytes())
+        return buf.tobytes()
 
 
 class RawAVIWriter(_AVIWriterBase):
     """Uncompressed BGR24 ('DIB ') AVI writer — zero per-frame encode CPU.
 
-    On a single-core host the per-frame JPEG of :class:`MJPEGWriter` is the
-    single most expensive pipeline stage (~5 ms/frame at 1080p); a raw DIB
-    chunk is one buffered ``write`` into the page cache (<1 ms/frame) at the
-    price of 6.2 MB/frame on disk. The frame is stored top-down via negative
-    ``biHeight`` (no vertical-flip pass; ffmpeg/OpenCV both honor it).
-    When ffmpeg muxes the audio track afterwards it re-encodes anyway
-    (reference inference.py:276-277 ``-q:v 1``), so JPEG-ing the intermediate
-    was pure wasted work; without ffmpeg the deliverable is lossless.
+    A raw DIB chunk is one buffered ``write`` into the page cache
+    (<1 ms/frame) at the price of 6.2 MB/frame on disk: 1080p @ 25 fps needs
+    a ~155 MB/s sustained sink, so once the clip outruns the page cache the
+    writes block on disk writeback (measured: a ~90 MB/s disk turned the
+    encode stage from 0.9 s into 14.6 s across repeated runs). Use for
+    lossless output or fast scratch space; :class:`MJPEGWriter` with the
+    pooled ``encode_frame`` path is the throughput default. The frame is
+    stored top-down via negative ``biHeight`` (no vertical-flip pass;
+    ffmpeg/OpenCV both honor it).
     """
 
     _HANDLER = b"DIB "
@@ -337,7 +360,7 @@ class RawAVIWriter(_AVIWriterBase):
     _CHUNK_ID = b"00db"
     _HEIGHT_SIGN = -1  # top-down rows
 
-    def write(self, frame_bgr: np.ndarray) -> None:
+    def encode_frame(self, frame_bgr: np.ndarray) -> np.ndarray:
         if frame_bgr.shape[:2] != (self.h, self.w):
             raise ValueError(
                 f"frame shape {frame_bgr.shape[:2]} != {(self.h, self.w)}"
@@ -349,14 +372,19 @@ class RawAVIWriter(_AVIWriterBase):
             padded = np.zeros((self.h, stride), np.uint8)
             padded[:, :row] = frame_bgr.reshape(self.h, row)
             frame_bgr = padded
-        self._append_chunk(frame_bgr.data)
+        return frame_bgr
+
+    def write_encoded(self, payload) -> None:
+        self._append_chunk(payload.data if isinstance(payload, np.ndarray)
+                           else payload)
 
 
 def make_frame_writer(path: str, fps: float, frame_size_hw: Tuple[int, int],
-                      codec: str = "raw", jpeg_quality: int = 90):
-    """Writer factory: ``raw`` → :class:`RawAVIWriter` (fastest, lossless,
-    big files); ``mjpeg`` → :class:`MJPEGWriter` (compact intermediate);
-    any cv2 fourcc (``DIVX``, ``mp4v``, ...) → :class:`VideoFrameWriter`."""
+                      codec: str = "mjpeg", jpeg_quality: int = 90):
+    """Writer factory: ``mjpeg`` → :class:`MJPEGWriter` (compact, disk-safe,
+    encode parallelizes via ``encode_frame``); ``raw`` → :class:`RawAVIWriter`
+    (lossless, zero encode CPU, needs a ≥155 MB/s sink at 1080p25); any cv2
+    fourcc (``DIVX``, ``mp4v``, ...) → :class:`VideoFrameWriter`."""
     if codec.lower() == "raw":
         return RawAVIWriter(path, fps, frame_size_hw)
     if codec.lower() == "mjpeg":

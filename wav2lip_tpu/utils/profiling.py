@@ -26,8 +26,13 @@ class StageTimer:
     """
 
     def __init__(self):
+        import threading
+
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
+        # stages are timed from pipeline worker threads and composite/encode
+        # pools concurrently; += is not atomic
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def __call__(self, stage: str) -> Iterator[None]:
@@ -35,8 +40,10 @@ class StageTimer:
         try:
             yield
         finally:
-            self.totals[stage] += time.perf_counter() - t0
-            self.counts[stage] += 1
+            dt = time.perf_counter() - t0
+            with self._lock:
+                self.totals[stage] += dt
+                self.counts[stage] += 1
 
     def summary(self) -> str:
         total = sum(self.totals.values()) or 1e-9
