@@ -118,6 +118,8 @@ def main():
     if os.environ.get("W2L_BENCH_TRAIN", "1") != "0":
         result["train_steps_per_sec_gan_b16"] = _train_bench()
 
+    result["mel_frames_per_sec_fused"] = _mel_bench()
+
     print(json.dumps(result))
 
 
@@ -236,6 +238,30 @@ def _train_bench(steps=8, batch=16):
                                use_sync=True)
     jax.block_until_ready(m)
     return round(steps / (_t.time() - t0), 3)
+
+
+def _mel_bench(seconds=10.0, repeats=10):
+    """Fused Pallas mel frontend throughput (the reference's audio.py:45-51
+    chain as ONE TPU kernel): normalized mel frames produced per second of
+    wall time for a 10 s waveform, warm."""
+    import time as _t
+
+    import jax
+    import numpy as np
+
+    from wav2lip_tpu.audio import PallasMelFrontend
+
+    fused = PallasMelFrontend()
+    rng = np.random.default_rng(0)
+    wav = rng.standard_normal(int(seconds * 16000)).astype(np.float32) * 0.1
+    out = fused(wav)
+    jax.block_until_ready(out)  # compile
+    t0 = _t.time()
+    for _ in range(repeats):
+        out = fused(wav)
+    jax.block_until_ready(out)
+    dt = (_t.time() - t0) / repeats
+    return round(out.shape[1] / dt, 1)
 
 
 def _detect_bench(tmp, detect_res, fps, n_frames=48):

@@ -4,5 +4,12 @@ from wav2lip_tpu.audio.mel import (
     save_wav,
     melspectrogram,
 )
+from wav2lip_tpu.audio.mel_pallas import PallasMelFrontend
 
-__all__ = ["MelFrontend", "load_wav", "save_wav", "melspectrogram"]
+__all__ = [
+    "MelFrontend",
+    "PallasMelFrontend",
+    "load_wav",
+    "save_wav",
+    "melspectrogram",
+]
