@@ -109,16 +109,23 @@ def main():
         "stages": stages,
     }
 
+    # auxiliary legs are best-effort: a failure must not take down the
+    # primary metric line
+    def _leg(key, fn, *a):
+        try:
+            result[key] = fn(*a)
+        except Exception as e:  # noqa: BLE001 — recorded, not fatal
+            result[key] = None
+            result.setdefault("leg_errors", {})[key] = repr(e)[:200]
+
     if detect_leg:
-        result[f"detect_fps_{detect_res}p"] = _detect_bench(
-            tmp, detect_res, fps
-        )
-        result["detect_e2e_fps_720p"] = _detect_e2e_bench(tmp, fps)
+        _leg(f"detect_fps_{detect_res}p", _detect_bench, tmp, detect_res, fps)
+        _leg("detect_e2e_fps_720p", _detect_e2e_bench, tmp, fps)
 
     if os.environ.get("W2L_BENCH_TRAIN", "1") != "0":
-        result["train_steps_per_sec_gan_b16"] = _train_bench()
+        _leg("train_steps_per_sec_gan_b16", _train_bench)
 
-    result["mel_frames_per_sec_fused"] = _mel_bench()
+    _leg("mel_frames_per_sec_fused", _mel_bench)
 
     print(json.dumps(result))
 
