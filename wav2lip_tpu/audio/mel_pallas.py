@@ -158,6 +158,12 @@ class PallasMelFrontend:
             raise ValueError("fused mel kernel needs hop | n_fft")
         if cfg.win_size != cfg.n_fft:
             raise ValueError("fused mel kernel assumes win_size == n_fft")
+        if 1 + cfg.n_fft // 2 > F_PAD:
+            raise ValueError(
+                f"fused mel kernel's lane padding holds {F_PAD} frequency "
+                f"bins; n_fft={cfg.n_fft} needs {1 + cfg.n_fft // 2} — raise "
+                f"mel_pallas.F_PAD (multiple of 128) or use the host path"
+            )
         self.cfg = cfg
         if interpret is None:
             interpret = jax.default_backend() != "tpu"

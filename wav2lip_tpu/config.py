@@ -146,6 +146,10 @@ class DetectConfig:
     max_candidates: int = 256  # fixed top-K replacing the dynamic gather
     max_detections: int = 16   # boxes returned per image after NMS
     mean_bgr: Tuple[float, float, float] = (104.0, 117.0, 123.0)
+    # S3FD trunk compute dtype: bfloat16 is TPU-native (+37% detect f/s
+    # measured); anchor decode and NMS stay float32 regardless. Pixel-exact
+    # reference comparisons should set "float32".
+    compute_dtype: str = "bfloat16"
 
 
 @dataclass(frozen=True)

@@ -38,7 +38,10 @@ def fetch_to(url: str, dest_path: str, timeout: float = 30.0) -> str:
     import urllib.request
 
     os.makedirs(os.path.dirname(os.path.abspath(dest_path)), exist_ok=True)
-    tmp = dest_path + ".part"
+    # per-process temp name: concurrent preprocess shards (--shard i of n)
+    # may all hit a cold cache at once, and a shared .part file would be
+    # interleaved by both writers and then fail the hash for everyone
+    tmp = f"{dest_path}.{os.getpid()}.part"
     try:
         with urllib.request.urlopen(url, timeout=timeout) as r, \
                 open(tmp, "wb") as f:
@@ -47,17 +50,20 @@ def fetch_to(url: str, dest_path: str, timeout: float = 30.0) -> str:
                 if not chunk:
                     break
                 f.write(chunk)
+        if not _hash_ok(tmp, url):
+            raise RuntimeError(f"downloaded {url} failed its sha256 check")
     except Exception as e:
         if os.path.exists(tmp):
             os.remove(tmp)
+        if os.path.exists(dest_path):  # a concurrent fetch won the race
+            return dest_path
+        if isinstance(e, RuntimeError):
+            raise
         raise RuntimeError(
             f"could not download {url} ({e!r}); place the file at "
             f"{dest_path} manually or pass an explicit checkpoint path"
         ) from e
-    if not _hash_ok(tmp, url):
-        os.remove(tmp)
-        raise RuntimeError(f"downloaded {url} failed its sha256 check")
-    os.replace(tmp, dest_path)
+    os.replace(tmp, dest_path)  # atomic; last finisher wins with valid bytes
     return dest_path
 
 

@@ -67,10 +67,14 @@ def checkpoint_has_opt_state(path: str) -> bool:
         # is the saved pytree with ArrayMetadata leaves
         tree = getattr(meta, "item_metadata", meta)
         tree = getattr(tree, "tree", tree)
-        if isinstance(tree, dict):
-            sub = tree.get("opt_state")
-        else:
-            sub = getattr(tree, "opt_state", None)
+        if not isinstance(tree, dict) or "opt_state" not in tree:
+            # metadata shape this probe does not recognize (Orbax layouts
+            # vary across versions): fall through to the raw restore rather
+            # than silently answering "model-only", which would restore
+            # opt_state without its structure template and crash the next
+            # optimizer update
+            raise LookupError("unrecognized checkpoint metadata layout")
+        sub = tree["opt_state"]
         return sub is not None and jax.tree.leaves(sub) != []
     except Exception:
         raw = load_orbax(path)

@@ -43,6 +43,21 @@ from wav2lip_tpu.train.steps import (
 )
 
 
+def _local_rows(arr) -> np.ndarray:
+    """This process's rows of a batch-sharded global array.
+
+    ``batch["x"]``/``batch["gt"]`` in the sample dump are the process-LOCAL
+    host batch, but the generated ``g`` comes back as a global array sharded
+    over every process's devices — ``np.asarray`` on it raises on multi-host
+    (process 0 cannot address the other hosts' shards). The addressable
+    shards are exactly the outputs for this process's local inputs."""
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        shards = sorted(arr.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    return np.asarray(arr)
+
+
 def save_sample_images(x, g, gt, step: int, checkpoint_dir: str):
     """Dump ref/input/generated/gt collages (reference
     wav2lip_train.py:166-177). Inputs are NHWC float [0,1] batches:
@@ -309,8 +324,9 @@ class Wav2LipTrainer(_BaseTrainer):
                     or self.global_step % tcfg.checkpoint_interval == 0
                     or self.global_step == max_steps):
                 if dump_samples and g is not None and self._is_primary:
-                    save_sample_images(batch["x"], g, batch["gt"],
-                                       self.global_step, checkpoint_dir)
+                    save_sample_images(batch["x"], _local_rows(g),
+                                       batch["gt"], self.global_step,
+                                       checkpoint_dir)
                 self.save(checkpoint_dir)
             if (val_iter is not None
                     and self.global_step % tcfg.eval_interval == 0):

@@ -13,6 +13,7 @@ No reference equivalent — the reference's host↔device traffic is implicit in
 
 from __future__ import annotations
 
+import functools
 from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional, Sequence
 
@@ -96,10 +97,17 @@ def fetch_tree(tree):
     tunnel (measured 469 s), and per-leaf threading is still latency-bound
     (32-70 s). Instead the leaves are raveled+concatenated ON DEVICE into
     one flat buffer per dtype, fetched as 8 large concurrent streams
-    (bandwidth-bound), and re-split/reshaped on the host (~10 s)."""
-    import jax.numpy as jnp
+    (bandwidth-bound), and re-split/reshaped on the host (~10 s).
 
+    Multi-process note: under ``jax.distributed`` the fused path is skipped
+    — a jitted computation over multi-process arrays must be entered by
+    EVERY process, but checkpoint saves are (correctly) gated to process 0;
+    the plain per-leaf conversion works for the replicated trainer state
+    that gets saved."""
     leaves, treedef = jax.tree.flatten(tree)
+    if jax.process_count() > 1:
+        out = [np.asarray(x) for x in leaves]
+        return jax.tree.unflatten(treedef, out)
     by_dtype = {}
     for i, x in enumerate(leaves):
         if isinstance(x, jax.Array):
@@ -108,8 +116,7 @@ def fetch_tree(tree):
     for idxs in by_dtype.values():
         group = [leaves[i] for i in idxs]
         total = sum(int(x.size) for x in group)
-        chunks = _jit_concat_split(tuple(group),
-                                   tuple(split_sizes(total, 8)))
+        chunks = _concat_split(tuple(group), tuple(split_sizes(total, 8)))
         host_flat = fetch_concat(chunks)
         offsets = np.cumsum([int(x.size) for x in group])[:-1]
         for i, arr in zip(idxs, np.split(host_flat, offsets)):
@@ -134,6 +141,13 @@ def put_tree(tree, mesh=None):
 
     leaves, treedef = jax.tree.flatten(tree)
     rep = NamedSharding(mesh, PartitionSpec()) if mesh is not None else None
+    if jax.process_count() > 1:
+        # multi-process: jitted reassembly would need every process to enter
+        # the same computation; plain device_put is collective-free
+        return jax.device_put(tree, rep) if rep is not None else jax.tree.map(
+            lambda x: x if isinstance(x, jax.Array) else jax.device_put(x),
+            tree,
+        )
     if any(isinstance(x, jax.Array) for x in leaves):
         # already device-resident: usable as-is single-device; a mesh target
         # re-homes device-to-device (no host round trip)
@@ -154,44 +168,48 @@ def put_tree(tree, mesh=None):
     return jax.tree.unflatten(treedef, out)
 
 
+@functools.partial(jax.jit, static_argnames=("shapes",))
+def _split_reshape_jit(xs, shapes):
+    import jax.numpy as jnp
+
+    flat = jnp.concatenate(xs)
+    outs, off = [], 0
+    for s in shapes:
+        n = int(np.prod(s)) if s else 1
+        outs.append(jax.lax.dynamic_slice_in_dim(flat, off, n).reshape(s))
+        off += n
+    return tuple(outs)
+
+
 def _jit_split_reshape(chunks, shapes, sharding):
     """Reassemble flat device chunks into the original leaf shapes, on
-    device, in one jitted program (cached per signature)."""
-    import functools
+    device, in one module-level jitted program (the jit cache keys on the
+    static ``shapes``; defining the jit inside the call would re-trace every
+    time)."""
+    if sharding is not None:
+        chunks = tuple(jax.device_put(c, sharding) for c in chunks)
+    out = _split_reshape_jit(chunks, shapes)
+    if sharding is not None:
+        out = jax.device_put(out, sharding)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("sizes",))
+def _concat_split_jit(xs, sizes):
     import jax.numpy as jnp
 
-    @functools.partial(
-        jax.jit,
-        static_argnames=("shapes",),
-        **({"out_shardings": sharding} if sharding is not None else {}),
-    )
-    def fn(xs, shapes):
-        flat = jnp.concatenate(xs)
-        outs, off = [], 0
-        for s in shapes:
-            n = int(np.prod(s)) if s else 1
-            outs.append(jax.lax.dynamic_slice_in_dim(flat, off, n).reshape(s))
-            off += n
-        return tuple(outs)
-
-    return fn(chunks, shapes)
+    flat = jnp.concatenate([jnp.ravel(x) for x in xs])
+    off, outs = 0, []
+    for s in sizes:
+        outs.append(jax.lax.dynamic_slice_in_dim(flat, off, s))
+        off += s
+    return tuple(outs)
 
 
-def _jit_concat_split(group, sizes):
+def _concat_split(group, sizes):
     """Ravel+concat a tuple of same-dtype device arrays into ``len(sizes)``
-    flat chunks, on device, in one jitted program (cached per signature)."""
-    import jax.numpy as jnp
-
-    @jax.jit
-    def fn(xs):
-        flat = jnp.concatenate([jnp.ravel(x) for x in xs])
-        off, outs = 0, []
-        for s in sizes:
-            outs.append(jax.lax.dynamic_slice_in_dim(flat, off, s))
-            off += s
-        return tuple(outs)
-
-    return fn(group)
+    flat chunks, on device (module-level jit: cached per signature)."""
+    return _concat_split_jit(group, sizes)
 
 
 def fetch_concat(shards: Sequence[jax.Array]) -> np.ndarray:
