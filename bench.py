@@ -124,6 +124,7 @@ def main():
 
     if os.environ.get("W2L_BENCH_TRAIN", "1") != "0":
         _leg("train_steps_per_sec_gan_b16", _train_bench)
+        _leg("train_steps_per_sec_gan_b16_bf16", _train_bench, 8, 16, "bfloat16")
 
     _leg("mel_frames_per_sec_fused", _mel_bench)
 
@@ -191,11 +192,13 @@ def _detect_e2e_bench(tmp, fps, seconds=4.0, res=720):
     return round(int(seconds * fps) / dt, 2)
 
 
-def _train_bench(steps=8, batch=16):
+def _train_bench(steps=8, batch=16, compute_dtype=None):
     """Training throughput (BASELINE configs 3-5 have no recorded perf
     number): full GAN train step — generator update incl. frozen-expert
     sync loss, then discriminator update (hq_wav2lip_train.py:221-256) — at
-    the reference batch size 16 (hparams.py:88) on real shapes."""
+    the reference batch size 16 (hparams.py:88) on real shapes.
+    ``compute_dtype="bfloat16"`` measures the opt-in mixed-precision mode
+    (train.compute_dtype; f32 master params, bf16 MXU compute)."""
     import time as _t
 
     import jax
@@ -221,7 +224,12 @@ def _train_bench(steps=8, batch=16):
         key, np.zeros((1, 80, 16, 1), np.float32),
         np.zeros((1, S // 2, S, 3 * T), np.float32))
 
-    train_step, _ = make_gan_steps(gen_tx, disc_tx)
+    import jax.numpy as jnp
+
+    train_step, _ = make_gan_steps(
+        gen_tx, disc_tx,
+        compute_dtype=jnp.dtype(compute_dtype) if compute_dtype else None,
+    )
     rng = np.random.default_rng(0)
     # batch uploaded ONCE: this leg measures step compute (the input
     # pipeline overlaps uploads in real training and the link here is a

@@ -116,6 +116,28 @@ class TestSyncNetStep:
                 first = float(m["loss"])
         assert float(m["loss"]) < first  # overfits the fixed batch
 
+    def test_mixed_precision_step(self, sync_batch, sync_vars):
+        """Opt-in bf16 compute: loss still decreases, and master params /
+        optimizer state / stored BN stats stay float32."""
+        import jax.numpy as jnp
+
+        tx = optax.adam(1e-3)
+        train_step, _ = make_syncnet_steps(tx, compute_dtype=jnp.bfloat16)
+        state = TrainState.create(sync_vars, tx)
+        first = None
+        for _ in range(6):
+            state, m = train_step(state, *sync_batch)
+            if first is None:
+                first = float(m["loss"])
+        assert np.isfinite(float(m["loss"]))
+        assert float(m["loss"]) < first
+        for leaf in jax.tree.leaves(
+            (state.params, state.batch_stats, state.opt_state)
+        ):
+            if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype,
+                                                         jnp.floating):
+                assert leaf.dtype == jnp.float32
+
 
 class TestWav2LipStep:
     def test_step_no_sync(self, mesh2, w2l_batch, sync_vars):

@@ -70,6 +70,11 @@ class TrainConfig:
     checkpoint_interval: int = 3000
     eval_interval: int = 3000
     save_optimizer_state: bool = True
+    # train-step compute dtype. "float32" = reference parity (default).
+    # "bfloat16" = mixed precision: forward/backward on the MXU in bf16 with
+    # float32 master params / optimizer state / stored BN stats and float32
+    # loss reductions (no loss scaling needed — bf16 keeps f32's exponent).
+    compute_dtype: str = "float32"
 
     # Adaptive curriculum: syncnet_wt starts at 0 and flips to 0.01 (plain) or
     # 0.03 (GAN) once eval sync loss dips below sync_loss_curriculum_threshold

@@ -132,24 +132,54 @@ def _wrap(mesh, body: Callable, in_specs, out_specs,
     ))
 
 
-def _apply_train(model, params, batch_stats, *args):
-    """model.apply in train mode, returning (out, new_batch_stats)."""
-    variables = {"params": params}
-    if batch_stats is not None:
-        variables["batch_stats"] = batch_stats
-    out, mut = model.apply(
-        variables, *args, train=True, mutable=["batch_stats"]
+def _cast_floats(tree, dtype):
+    """Cast floating leaves of a pytree (params/activations) to ``dtype``."""
+    if dtype is None:
+        return tree
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        tree,
     )
-    return out, mut.get("batch_stats")
 
 
-def _sync_loss(sync_model, sync_vars, mel, g):
+def _apply_train(model, params, batch_stats, *args, compute_dtype=None):
+    """model.apply in train mode, returning (out, new_batch_stats).
+
+    ``compute_dtype``: optional mixed-precision mode — parameters and inputs
+    cast to it (bfloat16: ~2x MXU throughput, half the activation HBM
+    traffic) while the master params, optimizer state and the STORED
+    BatchNorm running stats stay float32; outputs return as float32 so every
+    loss reduces at full precision. bf16's f32-sized exponent needs no loss
+    scaling. Off (None) by default — reference parity is float32
+    (train.compute_dtype flips it).
+    """
+    variables = {"params": _cast_floats(params, compute_dtype)}
+    if batch_stats is not None:
+        variables["batch_stats"] = _cast_floats(batch_stats, compute_dtype)
+    out, mut = model.apply(
+        variables, *_cast_floats(tuple(args), compute_dtype),
+        train=True, mutable=["batch_stats"]
+    )
+    new_bs = mut.get("batch_stats")
+    if compute_dtype is not None:
+        out = _cast_floats(out, jnp.float32)
+        new_bs = _cast_floats(new_bs, jnp.float32)
+    return out, new_bs
+
+
+def _sync_loss(sync_model, sync_vars, mel, g, compute_dtype=None):
     """Frozen-expert sync loss; train-mode BN (see module docstring), stat
     updates discarded."""
     v_in = fold_lower_half_for_syncnet(g)
     (a, v), _ = sync_model.apply(
-        sync_vars, mel, v_in, train=True, mutable=["batch_stats"]
+        _cast_floats(sync_vars, compute_dtype),
+        _cast_floats(mel, compute_dtype),
+        _cast_floats(v_in, compute_dtype),
+        train=True, mutable=["batch_stats"],
     )
+    a, v = a.astype(jnp.float32), v.astype(jnp.float32)
     y = jnp.ones((a.shape[0], 1), a.dtype)
     return cosine_bce_loss(a, v, y)
 
@@ -159,13 +189,16 @@ def _sync_loss(sync_model, sync_vars, mel, g):
 # ---------------------------------------------------------------------------
 
 
-def make_syncnet_steps(tx: optax.GradientTransformation, mesh=None):
+def make_syncnet_steps(tx: optax.GradientTransformation, mesh=None,
+                       compute_dtype=None):
     model = SyncNet()
 
     def train_body(state: TrainState, mel, faces, y, *, reduce):
         def loss_fn(params):
             (a, v), new_bs = _apply_train(model, params, state.batch_stats,
-                                          mel, faces)
+                                          mel, faces,
+                                          compute_dtype=compute_dtype)
+            a, v = a.astype(jnp.float32), v.astype(jnp.float32)
             return cosine_bce_loss(a, v, y), new_bs
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -195,7 +228,8 @@ def make_syncnet_steps(tx: optax.GradientTransformation, mesh=None):
 # ---------------------------------------------------------------------------
 
 
-def make_wav2lip_steps(tx: optax.GradientTransformation, mesh=None):
+def make_wav2lip_steps(tx: optax.GradientTransformation, mesh=None,
+                       compute_dtype=None):
     gen = Wav2LipGenerator()
     sync = SyncNet()
 
@@ -203,10 +237,12 @@ def make_wav2lip_steps(tx: optax.GradientTransformation, mesh=None):
                    syncnet_wt, *, use_sync: bool, reduce):
         def loss_fn(params):
             g, new_bs = _apply_train(gen, params, state.batch_stats,
-                                     batch["indiv_mels"], batch["x"])
+                                     batch["indiv_mels"], batch["x"],
+                                     compute_dtype=compute_dtype)
             l1 = l1_loss(g, batch["gt"])
             if use_sync:
-                s = _sync_loss(sync, sync_vars, batch["mel"][..., None], g)
+                s = _sync_loss(sync, sync_vars, batch["mel"][..., None], g,
+                               compute_dtype=compute_dtype)
             else:
                 s = jnp.zeros((), g.dtype)
             loss = syncnet_wt * s + (1.0 - syncnet_wt) * l1
@@ -247,7 +283,8 @@ def make_wav2lip_steps(tx: optax.GradientTransformation, mesh=None):
 
 
 def make_gan_steps(gen_tx: optax.GradientTransformation,
-                   disc_tx: optax.GradientTransformation, mesh=None):
+                   disc_tx: optax.GradientTransformation, mesh=None,
+                   compute_dtype=None):
     """The generator update and the discriminator update are two separately
     jitted programs chained by a host-side wrapper: the reference also runs
     them as two sequential optimizer steps (hq_wav2lip_train.py:221-256), the
@@ -264,14 +301,19 @@ def make_gan_steps(gen_tx: optax.GradientTransformation,
         # generator update (hq_wav2lip_train.py:221-243)
         def gen_loss_fn(params):
             g, new_bs = _apply_train(gen, params, gen_state.batch_stats,
-                                     batch["indiv_mels"], batch["x"])
+                                     batch["indiv_mels"], batch["x"],
+                                     compute_dtype=compute_dtype)
             l1 = l1_loss(g, batch["gt"])
             if use_sync:
-                s = _sync_loss(sync, sync_vars, batch["mel"][..., None], g)
+                s = _sync_loss(sync, sync_vars, batch["mel"][..., None], g,
+                               compute_dtype=compute_dtype)
             else:
                 s = jnp.zeros((), g.dtype)
             # perceptual term: BCE(disc(g), 1) (models/wav2lip.py:163-174)
-            pred = disc.apply({"params": disc_params}, g)
+            pred = disc.apply(
+                {"params": _cast_floats(disc_params, compute_dtype)},
+                _cast_floats(g, compute_dtype),
+            ).astype(jnp.float32)
             percep = bce(pred, jnp.ones_like(pred))
             loss = (syncnet_wt * s + disc_wt * percep
                     + (1.0 - syncnet_wt - disc_wt) * l1)
@@ -298,9 +340,14 @@ def make_gan_steps(gen_tx: optax.GradientTransformation,
         # discriminator update on real + detached fake
         # (hq_wav2lip_train.py:245-256: two backwards, one step)
         def disc_loss_fn(params):
-            pred_real = disc.apply({"params": params}, gt)
+            params_c = _cast_floats(params, compute_dtype)
+            pred_real = disc.apply(
+                {"params": params_c}, _cast_floats(gt, compute_dtype)
+            ).astype(jnp.float32)
             real_loss = bce(pred_real, jnp.ones_like(pred_real))
-            pred_fake = disc.apply({"params": params}, g_detached)
+            pred_fake = disc.apply(
+                {"params": params_c}, _cast_floats(g_detached, compute_dtype)
+            ).astype(jnp.float32)
             fake_loss = bce(pred_fake, jnp.zeros_like(pred_fake))
             return real_loss + fake_loss, (real_loss, fake_loss)
 

@@ -22,6 +22,7 @@ from typing import Callable, Dict, Iterator, Optional
 
 import cv2
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -86,6 +87,13 @@ class _BaseTrainer:
         self.log_every = log_every
         self.global_step = 0
         self.global_epoch = 0
+
+    @staticmethod
+    def _compute_dtype(tcfg):
+        """None for the float32 reference-parity default; a jnp dtype for
+        the opt-in mixed-precision mode (train.compute_dtype)."""
+        dt = getattr(tcfg, "compute_dtype", "float32")
+        return None if dt in (None, "float32") else jnp.dtype(dt)
 
     def _shard(self, batch):
         """Single host: place with batch-axis sharding. Multi-host: each
@@ -162,7 +170,7 @@ class SyncNetTrainer(_BaseTrainer):
         tcfg = config.train
         self.tx = optax.adam(tcfg.syncnet_lr, b1=tcfg.adam_b1, b2=tcfg.adam_b2)
         self.train_step, self.eval_step = make_syncnet_steps(
-            self.tx, mesh=self.mesh
+            self.tx, mesh=self.mesh, compute_dtype=self._compute_dtype(tcfg)
         )
         model = SyncNet()
         variables = jax.jit(model.init)(
@@ -277,12 +285,14 @@ class Wav2LipTrainer(_BaseTrainer):
             self.disc_state = TrainState.create(dvars, self.disc_tx)
             self.disc_wt = tcfg.disc_wt
             self.train_step, self.eval_step = make_gan_steps(
-                self.tx, self.disc_tx, mesh=self.mesh
+                self.tx, self.disc_tx, mesh=self.mesh,
+                compute_dtype=self._compute_dtype(tcfg),
             )
             self.wt_after_trigger = 0.03  # hq_wav2lip_train.py:290
         else:
             self.train_step, self.eval_step = make_wav2lip_steps(
-                self.tx, mesh=self.mesh
+                self.tx, mesh=self.mesh,
+                compute_dtype=self._compute_dtype(tcfg),
             )
             self.wt_after_trigger = tcfg.syncnet_wt_after_trigger  # 0.01
 
