@@ -33,6 +33,9 @@ def build_parser():
     p.add_argument("--max_steps", type=int, default=10_000_000)
     p.add_argument("--num_workers", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compute_dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="train-step compute dtype: bfloat16 = mixed precision (f32 master params)")
     p.add_argument("--dump_samples", action="store_true", default=True)
     p.add_argument("--trace_dir", default=None,
                    help="capture a jax.profiler device trace here")
@@ -68,6 +71,10 @@ def main(argv=None) -> int:
     from wav2lip_tpu.utils.profiling import device_trace
 
     cfg = DEFAULT_CONFIG
+    if args.compute_dtype:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, train=_dc.replace(
+            cfg.train, compute_dtype=args.compute_dtype))
     workers = args.num_workers or cfg.train.num_workers
 
     sync_vars = load_model_variables(

@@ -194,6 +194,9 @@ def make_syncnet_steps(tx: optax.GradientTransformation, mesh=None,
     model = SyncNet()
 
     def train_body(state: TrainState, mel, faces, y, *, reduce):
+        if mel.ndim == 3:  # (B, 80, 16) from the data pipeline → NHWC
+            mel = mel[..., None]
+
         def loss_fn(params):
             (a, v), new_bs = _apply_train(model, params, state.batch_stats,
                                           mel, faces,
@@ -214,6 +217,8 @@ def make_syncnet_steps(tx: optax.GradientTransformation, mesh=None,
         ), metrics
 
     def eval_body(state: TrainState, mel, faces, y, *, reduce):
+        if mel.ndim == 3:  # (B, 80, 16) from the data pipeline → NHWC
+            mel = mel[..., None]
         a, v = model.apply(state.variables(), mel, faces, train=False)
         return reduce({"loss": cosine_bce_loss(a, v, y)})
 
