@@ -110,3 +110,70 @@ class TestPrefetchLoader:
             assert b["gt"].shape == (2, 5, 96, 96, 3)
         finally:
             loader.close()
+
+
+class TestLoaderTrainerIntegration:
+    def test_syncnet_loader_feeds_trainer(self, dataset, tmp_path):
+        """The data pipeline's (faces, mel(80,16), y) tuples must drive a
+        real SyncNetTrainer step — the mel channel-dim contract between
+        sampler and jitted step is exactly what unit fixtures (which build
+        4-D mels by hand) never exercised, and it shipped broken once."""
+        import jax
+
+        from wav2lip_tpu.data.dataset import PrefetchLoader
+        from wav2lip_tpu.parallel import make_mesh
+        from wav2lip_tpu.train.trainers import SyncNetTrainer
+
+        root, dirs = dataset
+        sampler = WindowSampler(dirs, seed=3)
+        loader = PrefetchLoader(sampler.sample_syncnet, batch_size=8,
+                                num_workers=0)
+        try:
+            t = SyncNetTrainer(mesh=make_mesh(jax.devices()[:1]), rng_seed=0)
+            out = t.fit(iter(loader), None, str(tmp_path / "ck"), max_steps=1)
+            assert np.isfinite(out["loss"])
+            assert t.global_step == 1
+        finally:
+            loader.close()
+
+    def test_wav2lip_sampler_shapes_trace_through_step(self, dataset):
+        """Trace (not compile) one Wav2Lip train step on a REAL sampler
+        batch: catches sampler↔step rank/shape contract drift (like the
+        3-D-mel SyncNet bug) in seconds, without the multi-minute CPU
+        compile a real step would cost."""
+        import functools
+
+        import jax
+        import optax
+
+        from wav2lip_tpu.models import SyncNet, Wav2LipGenerator
+        from wav2lip_tpu.train.state import TrainState
+        from wav2lip_tpu.train.steps import make_wav2lip_steps
+
+        root, dirs = dataset
+        sampler = WindowSampler(dirs, seed=5)
+        samples = [sampler.sample_wav2lip() for _ in range(2)]
+        batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+        T, S = 5, 96
+        tx = optax.adam(1e-4)
+        key = jax.random.key(0)
+        gvars = jax.eval_shape(
+            Wav2LipGenerator().init, key,
+            jax.ShapeDtypeStruct((1, T, 80, 16, 1), np.float32),
+            jax.ShapeDtypeStruct((1, T, S, S, 6), np.float32),
+        )
+        svars = jax.eval_shape(
+            SyncNet().init, key,
+            jax.ShapeDtypeStruct((1, 80, 16, 1), np.float32),
+            jax.ShapeDtypeStruct((1, S // 2, S, 3 * T), np.float32),
+        )
+        state = TrainState.create(gvars, tx)
+        train_step, _ = make_wav2lip_steps(tx)
+        out = jax.eval_shape(
+            functools.partial(train_step, use_sync=True),
+            state, svars, batch, np.float32(0.01),
+        )
+        new_state, metrics, g = out
+        assert g.shape == (2, T, S, S, 3)
+        assert set(metrics) == {"loss", "l1", "sync"}

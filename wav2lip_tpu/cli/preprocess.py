@@ -37,6 +37,10 @@ def build_parser():
                         "the model-zoo download (sfd_detector.py:11-24)")
     p.add_argument("--batch_size", type=int, default=32,
                    help="face detection batch size")
+    p.add_argument("--data_parallel", action="store_true", default=False,
+                   help="shard detection batches over ALL visible chips "
+                        "(single-host multi-chip; across hosts use "
+                        "--shard/--num_shards)")
     p.add_argument("--shard", type=int, default=0,
                    help="this host's shard index")
     p.add_argument("--num_shards", type=int, default=1,
@@ -109,8 +113,18 @@ def main(argv=None) -> int:
     det_vars = load_model_variables(
         resolve_s3fd_checkpoint(args.s3fd_checkpoint), import_s3fd
     )
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from wav2lip_tpu.parallel import make_mesh
+
+        if len(jax.devices()) > 1:
+            mesh = make_mesh()
+            print(f"data-parallel detection over {len(jax.devices())} chips")
     detector = FaceDetectionPipeline(
-        det_vars, DEFAULT_CONFIG.detect, batch_size=args.batch_size
+        det_vars, DEFAULT_CONFIG.detect, batch_size=args.batch_size,
+        mesh=mesh,
     )
 
     for vfile in filelist:

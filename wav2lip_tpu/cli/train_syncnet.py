@@ -61,7 +61,8 @@ def main(argv=None) -> int:
         import dataclasses as _dc
         cfg = _dc.replace(cfg, train=_dc.replace(
             cfg.train, compute_dtype=args.compute_dtype))
-    workers = args.num_workers or cfg.train.num_workers
+    workers = (cfg.train.num_workers if args.num_workers is None
+               else args.num_workers)  # 0 is a valid request
     local_bs = local_batch_size(cfg.train.syncnet_batch_size)
     pidx = jax.process_index()
 

@@ -75,7 +75,8 @@ def main(argv=None) -> int:
         import dataclasses as _dc
         cfg = _dc.replace(cfg, train=_dc.replace(
             cfg.train, compute_dtype=args.compute_dtype))
-    workers = args.num_workers or cfg.train.num_workers
+    workers = (cfg.train.num_workers if args.num_workers is None
+               else args.num_workers)  # 0 is a valid request
 
     sync_vars = load_model_variables(
         args.syncnet_checkpoint_path, import_syncnet

@@ -239,9 +239,11 @@ class PrefetchLoader:
         self.batch_size = batch_size
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
+        # at least one worker: zero threads would make __next__ block
+        # forever (num_workers=0 means "minimal parallelism", not "no data")
         self._threads = [
             threading.Thread(target=self._worker, daemon=True)
-            for _ in range(num_workers)
+            for _ in range(max(1, num_workers))
         ]
         for t in self._threads:
             t.start()
