@@ -50,6 +50,9 @@ def build_parser():
     g.add_argument("--wav2lip_batch_size", type=int, default=128)
     g.add_argument("--face_det_batch_size", type=int, default=16)
     g.add_argument("--ext", default=".mp4", help="media extension under data_root")
+    g.add_argument("--data_parallel", action="store_true", default=False,
+                   help="shard generation/detection batches over ALL "
+                        "visible chips")
 
     r = sub.add_parser("real", help="ReSyncED real-video inference "
                                     "(real_videos_inference.py modes)")
@@ -119,6 +122,15 @@ def cmd_generate(args) -> int:
         ),
     )
     gen_vars = load_model_variables(args.checkpoint_path, import_generator)
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        import jax
+
+        from wav2lip_tpu.parallel import make_mesh
+
+        if len(jax.devices()) > 1:
+            mesh = make_mesh()
+            print(f"data-parallel generation over {len(jax.devices())} chips")
     detector = None
     if args.box[0] == -1:
         from wav2lip_tpu.convert.fetch import resolve_s3fd_checkpoint
@@ -130,9 +142,10 @@ def cmd_generate(args) -> int:
             return 2
         detector = FaceDetectionPipeline(
             load_model_variables(s3fd_path, import_s3fd),
-            cfg.detect, batch_size=args.face_det_batch_size,
+            cfg.detect, batch_size=args.face_det_batch_size, mesh=mesh,
         )
-    pipeline = LipSyncPipeline(gen_vars, detector=detector, config=cfg)
+    pipeline = LipSyncPipeline(gen_vars, detector=detector, config=cfg,
+                               mesh=mesh)
 
     os.makedirs(args.results_dir, exist_ok=True)
     with open(args.filelist) as f:
