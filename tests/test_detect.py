@@ -174,6 +174,6 @@ class TestDetectorMesh:
         from wav2lip_tpu.detect import FaceDetectionPipeline
         from wav2lip_tpu.parallel import make_mesh
 
-        with pytest.raises(ValueError, match="must divide"):
+        with pytest.raises(ValueError, match="must be a multiple"):
             FaceDetectionPipeline({}, DEFAULT_CONFIG.detect, batch_size=6,
                                   mesh=make_mesh(jax.devices()[:4]))

@@ -139,7 +139,7 @@ class TestBoxInference:
     def test_mesh_rejects_indivisible_batch(self, gen_vars):
         from wav2lip_tpu.parallel import make_mesh
 
-        with pytest.raises(ValueError, match="must divide"):
+        with pytest.raises(ValueError, match="must be a multiple"):
             LipSyncPipeline(gen_vars, detector=None,
                             config=box_config(batch_size=6),
                             mesh=make_mesh(jax.devices()[:4]))

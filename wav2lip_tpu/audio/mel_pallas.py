@@ -99,15 +99,18 @@ def _mel_kernel(*refs, tile: int, r: int, min_level: float,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_frames", "hop", "n_fft", "cfg", "interpret"),
+    static_argnames=("blocks", "hop", "n_fft", "cfg", "interpret"),
 )
-def _fused_mel(y_rows, window, cos_m, sin_m, mel_m, num_frames: int,
+def _fused_mel(y_rows, window, cos_m, sin_m, mel_m, blocks: int,
                hop: int, n_fft: int, cfg: AudioConfig, interpret: bool):
+    """Returns the PADDED (blocks*TILE, n_mels) mel; the caller slices to
+    the true frame count OUTSIDE the jit — keying the trace on the exact
+    length would compile one executable per distinct audio duration instead
+    of one per 128-frame bucket."""
     import jax.experimental.pallas as pl
 
     r = n_fft // hop
     n_mels = mel_m.shape[1]
-    blocks = (num_frames + TILE - 1) // TILE
     t_pad = blocks * TILE
     min_level = float(np.exp(cfg.min_level_db / 20.0 * np.log(10.0)))
 
@@ -139,7 +142,7 @@ def _fused_mel(y_rows, window, cos_m, sin_m, mel_m, num_frames: int,
         out_shape=jax.ShapeDtypeStruct((t_pad, n_mels), jnp.float32),
         interpret=interpret,
     )(*y_shifts, window, cos_m, sin_m, mel_m)
-    return out[:num_frames]
+    return out
 
 
 class PallasMelFrontend:
@@ -201,7 +204,7 @@ class PallasMelFrontend:
         y_rows = y.reshape(rows_needed, hop)
         out = _fused_mel(
             y_rows, self._window, self._cos, self._sin, self._mel,
-            num_frames=num_frames, hop=hop, n_fft=cfg.n_fft, cfg=cfg,
+            blocks=blocks, hop=hop, n_fft=cfg.n_fft, cfg=cfg,
             interpret=self.interpret,
         )
-        return out.T  # (num_mels, T)
+        return out[:num_frames].T  # (num_mels, T)

@@ -122,15 +122,11 @@ def cmd_generate(args) -> int:
         ),
     )
     gen_vars = load_model_variables(args.checkpoint_path, import_generator)
-    mesh = None
-    if getattr(args, "data_parallel", False):
-        import jax
+    from wav2lip_tpu.parallel import maybe_data_parallel_mesh
 
-        from wav2lip_tpu.parallel import make_mesh
-
-        if len(jax.devices()) > 1:
-            mesh = make_mesh()
-            print(f"data-parallel generation over {len(jax.devices())} chips")
+    mesh = maybe_data_parallel_mesh(
+        getattr(args, "data_parallel", False), "generation"
+    )
     detector = None
     if args.box[0] == -1:
         from wav2lip_tpu.convert.fetch import resolve_s3fd_checkpoint

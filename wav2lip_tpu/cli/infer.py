@@ -58,8 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler device trace here")
     p.add_argument("--data_parallel", action="store_true", default=False,
                    help="shard generation batches over ALL visible devices "
-                        "(1-D data mesh; wav2lip_batch_size must divide the "
-                        "device count)")
+                        "(1-D data mesh; wav2lip_batch_size must be a "
+                        "multiple of the device count)")
     return p
 
 
@@ -117,17 +117,9 @@ def main(argv=None) -> int:
 
     from wav2lip_tpu.utils.profiling import device_trace
 
-    mesh = None
-    if args.data_parallel:
-        import jax
+    from wav2lip_tpu.parallel import maybe_data_parallel_mesh
 
-        from wav2lip_tpu.parallel import make_mesh
-
-        if len(jax.devices()) > 1:
-            mesh = make_mesh()
-            print(f"data-parallel generation over {len(jax.devices())} "
-                  f"devices")
-
+    mesh = maybe_data_parallel_mesh(args.data_parallel, "generation")
     pipeline = LipSyncPipeline(gen_vars, detector=detector, config=cfg,
                                mesh=mesh)
     with device_trace(args.trace_dir):

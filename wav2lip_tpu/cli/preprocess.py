@@ -113,15 +113,9 @@ def main(argv=None) -> int:
     det_vars = load_model_variables(
         resolve_s3fd_checkpoint(args.s3fd_checkpoint), import_s3fd
     )
-    mesh = None
-    if args.data_parallel:
-        import jax
+    from wav2lip_tpu.parallel import maybe_data_parallel_mesh
 
-        from wav2lip_tpu.parallel import make_mesh
-
-        if len(jax.devices()) > 1:
-            mesh = make_mesh()
-            print(f"data-parallel detection over {len(jax.devices())} chips")
+    mesh = maybe_data_parallel_mesh(args.data_parallel, "detection")
     detector = FaceDetectionPipeline(
         det_vars, DEFAULT_CONFIG.detect, batch_size=args.batch_size,
         mesh=mesh,

@@ -31,6 +31,7 @@ from wav2lip_tpu.models.s3fd import S3FD
 from wav2lip_tpu.ops.anchors import decode_all_scales
 from wav2lip_tpu.ops.nms import batched_nms
 from wav2lip_tpu.utils.cache import enable_compile_cache
+from wav2lip_tpu.utils.dtypes import cast_floats
 from wav2lip_tpu.utils.transfer import put_mesh_batch, put_sharded, put_tree
 
 
@@ -71,18 +72,13 @@ class FaceDetectionPipeline:
                              and mesh.devices.size > 1) else None
         if self.mesh is not None and batch_size % self.mesh.devices.size:
             raise ValueError(
-                f"batch_size {batch_size} must divide the "
-                f"{self.mesh.devices.size}-device mesh"
+                f"batch_size {batch_size} must be a multiple of the "
+                f"{self.mesh.devices.size}-device mesh size"
             )
         self.streams = max(1, transfer_streams)
         self.model = S3FD()
         if self.dtype != jnp.float32:
-            variables = jax.tree.map(
-                lambda x: x.astype(self.dtype)
-                if hasattr(x, "dtype")
-                and jnp.issubdtype(x.dtype, jnp.floating) else x,
-                variables,
-            )
+            variables = cast_floats(variables, self.dtype)
         # weights up ONCE as a fused transfer, passed to the jitted detect as
         # an argument — closure constants would be fetched leaf-by-leaf at
         # lowering time and baked into every cached executable

@@ -43,6 +43,7 @@ import os
 import queue
 import threading
 import warnings
+from collections import deque
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
@@ -64,6 +65,7 @@ from wav2lip_tpu.io.video import (
 )
 from wav2lip_tpu.models import Wav2LipGenerator
 from wav2lip_tpu.utils.cache import enable_compile_cache
+from wav2lip_tpu.utils.dtypes import cast_floats
 from wav2lip_tpu.utils.profiling import StageTimer
 from wav2lip_tpu.utils.transfer import (
     fetch_concat,
@@ -202,7 +204,7 @@ class LipSyncPipeline:
         generator forward partitions across chips with ZERO collectives
         (batch-parallel convs; BN uses running stats at inference). Output
         frames are bit-identical to the single-device path. The batch size
-        must divide the mesh."""
+        must be a multiple of the mesh size."""
         enable_compile_cache()
         self.cfg = config
         self.detector = detector
@@ -214,8 +216,8 @@ class LipSyncPipeline:
                              and mesh.devices.size > 1) else None
         if self.mesh is not None and self.batch_size % self.mesh.devices.size:
             raise ValueError(
-                f"wav2lip_batch_size {self.batch_size} must divide the "
-                f"{self.mesh.devices.size}-device mesh"
+                f"wav2lip_batch_size {self.batch_size} must be a multiple "
+                f"of the {self.mesh.devices.size}-device mesh size"
             )
         self._streams = (1 if self.mesh is not None
                          else max(1, config.infer.transfer_streams))
@@ -223,12 +225,7 @@ class LipSyncPipeline:
         if self.dtype == jnp.float32:
             self.vars = generator_vars
         else:
-            self.vars = jax.tree.map(
-                lambda x: x.astype(self.dtype)
-                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-                else x,
-                generator_vars,
-            )
+            self.vars = cast_floats(generator_vars, self.dtype)
         # weights go up ONCE as a fused transfer and are passed to the jitted
         # step as an ARGUMENT. Closing over them would embed them as program
         # constants: lowering then fetches every device-resident leaf back to
@@ -657,8 +654,9 @@ class LipSyncPipeline:
             # and writes serially per frame, inference.py:267-272). Static
             # mode shares one canvas across outputs — inherently sequential
             # — and keeps the inline path.
+            pool_workers = min(4, os.cpu_count() or 1)
             pool = ThreadPoolExecutor(
-                max_workers=min(4, os.cpu_count() or 1),
+                max_workers=pool_workers,
                 thread_name_prefix="w2l-composite",
             )
             try:
@@ -694,14 +692,27 @@ class LipSyncPipeline:
                                     writer.write(static_canvas)
                                 written[0] += 1
                             continue
-                        futs = [
-                            pool.submit(composite_encode_one, writer,
-                                        preds[j], c)
-                            for j, c in enumerate(crops)
-                        ]
-                        for f in futs:
+                        # bounded in-flight window: submitting the whole
+                        # batch would pin up to batch_size completed
+                        # payloads (full frames under codec="raw", ~800 MB
+                        # at 1080p x 128) while the serial writes drain
+                        it = iter(range(len(crops)))
+                        futs: "deque" = deque()
+                        for j in it:
+                            futs.append(pool.submit(
+                                composite_encode_one, writer, preds[j],
+                                crops[j]))
+                            if len(futs) >= 2 * pool_workers:
+                                break
+                        while futs:
+                            done = futs.popleft()
+                            for j in it:
+                                futs.append(pool.submit(
+                                    composite_encode_one, writer, preds[j],
+                                    crops[j]))
+                                break
                             with self.timings("write"):
-                                writer.write_encoded(f.result())
+                                writer.write_encoded(done.result())
                             written[0] += 1
                 finally:
                     writer.close()

@@ -1,5 +1,6 @@
 from wav2lip_tpu.parallel.mesh import (
     make_mesh,
+    maybe_data_parallel_mesh,
     replicated,
     batch_sharded,
     shard_batch,
@@ -12,6 +13,7 @@ from wav2lip_tpu.parallel.distributed import (
 
 __all__ = [
     "make_mesh",
+    "maybe_data_parallel_mesh",
     "replicated",
     "batch_sharded",
     "shard_batch",

@@ -31,6 +31,21 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def maybe_data_parallel_mesh(enabled: bool, label: str) -> Optional[Mesh]:
+    """The CLIs' ``--data_parallel`` helper: an all-device mesh when the flag
+    is set AND more than one device is visible, else None (single-device
+    fallback). Prints what it decided so runs are self-describing."""
+    if not enabled:
+        return None
+    n = len(jax.devices())
+    if n <= 1:
+        print(f"--data_parallel requested but only {n} device visible; "
+              f"running single-device")
+        return None
+    print(f"data-parallel {label} over {n} devices")
+    return make_mesh()
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

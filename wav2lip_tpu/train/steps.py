@@ -63,6 +63,7 @@ from wav2lip_tpu.train.losses import (
     fold_lower_half_for_syncnet,
 )
 from wav2lip_tpu.train.state import TrainState
+from wav2lip_tpu.utils.dtypes import cast_floats as _cast_floats
 
 _REP = P()           # replicated: parameters, optimizer state, scalars
 _BATCH = P(DATA_AXIS)  # leading-axis sharded: batches, generated frames
@@ -132,18 +133,6 @@ def _wrap(mesh, body: Callable, in_specs, out_specs,
     ))
 
 
-def _cast_floats(tree, dtype):
-    """Cast floating leaves of a pytree (params/activations) to ``dtype``."""
-    if dtype is None:
-        return tree
-    return jax.tree.map(
-        lambda x: x.astype(dtype)
-        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-        else x,
-        tree,
-    )
-
-
 def _apply_train(model, params, batch_stats, *args, compute_dtype=None):
     """model.apply in train mode, returning (out, new_batch_stats).
 
@@ -157,7 +146,11 @@ def _apply_train(model, params, batch_stats, *args, compute_dtype=None):
     """
     variables = {"params": _cast_floats(params, compute_dtype)}
     if batch_stats is not None:
-        variables["batch_stats"] = _cast_floats(batch_stats, compute_dtype)
+        # NOT cast: train-mode BN normalizes with batch statistics, so the
+        # running stats do no MXU work here — casting them would only
+        # quantize the stored f32 mean/var to bf16 every step and erase
+        # momentum updates smaller than ~0.4% of the value
+        variables["batch_stats"] = batch_stats
     out, mut = model.apply(
         variables, *_cast_floats(tuple(args), compute_dtype),
         train=True, mutable=["batch_stats"]

@@ -51,11 +51,12 @@ def _local_rows(arr) -> np.ndarray:
     host batch, but the generated ``g`` comes back as a global array sharded
     over every process's devices — ``np.asarray`` on it raises on multi-host
     (process 0 cannot address the other hosts' shards). The addressable
-    shards are exactly the outputs for this process's local inputs."""
+    shards are exactly the outputs for this process's local inputs;
+    fetch_mesh_batch copies them concurrently and reassembles in order."""
+    from wav2lip_tpu.utils.transfer import fetch_mesh_batch
+
     if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
-        shards = sorted(arr.addressable_shards,
-                        key=lambda s: s.index[0].start or 0)
-        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+        return fetch_mesh_batch(arr)
     return np.asarray(arr)
 
 
