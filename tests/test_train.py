@@ -116,6 +116,23 @@ class TestSyncNetStep:
                 first = float(m["loss"])
         assert float(m["loss"]) < first  # overfits the fixed batch
 
+    def test_remat_step_matches_plain(self, sync_batch, sync_vars):
+        """train.remat recomputes activations in the backward pass;
+        numerics must be identical to the plain step."""
+        tx = optax.adam(1e-3)
+        plain, _ = make_syncnet_steps(tx)
+        remat, _ = make_syncnet_steps(tx, remat=True)
+        s1 = TrainState.create(sync_vars, tx)
+        s2 = TrainState.create(sync_vars, tx)
+        s1, m1 = plain(s1, *sync_batch)
+        s2, m2 = remat(s2, *sync_batch)
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]),
+                                                  rel=1e-6)
+        for a, b in zip(jax.tree.leaves(s1.params),
+                        jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=1e-7)
+
     def test_mixed_precision_step(self, sync_batch, sync_vars):
         """Opt-in bf16 compute: loss still decreases, and master params /
         optimizer state / stored BN stats stay float32."""

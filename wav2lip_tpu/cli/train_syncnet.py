@@ -25,6 +25,9 @@ def build_parser():
     p.add_argument("--compute_dtype", default=None,
                    choices=["float32", "bfloat16"],
                    help="train-step compute dtype: bfloat16 = mixed precision (f32 master params)")
+    p.add_argument("--remat", action="store_true", default=False,
+                   help="rematerialize forwards in the backward pass "
+                        "(less activation memory, larger batches)")
     p.add_argument("--trace_dir", default=None,
                    help="capture a jax.profiler device trace here")
     # multi-host (pod slice) wiring; also settable via W2L_COORDINATOR etc.
@@ -61,6 +64,9 @@ def main(argv=None) -> int:
         import dataclasses as _dc
         cfg = _dc.replace(cfg, train=_dc.replace(
             cfg.train, compute_dtype=args.compute_dtype))
+    if args.remat:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, train=_dc.replace(cfg.train, remat=True))
     workers = (cfg.train.num_workers if args.num_workers is None
                else args.num_workers)  # 0 is a valid request
     local_bs = local_batch_size(cfg.train.syncnet_batch_size)

@@ -36,6 +36,9 @@ def build_parser():
     p.add_argument("--compute_dtype", default=None,
                    choices=["float32", "bfloat16"],
                    help="train-step compute dtype: bfloat16 = mixed precision (f32 master params)")
+    p.add_argument("--remat", action="store_true", default=False,
+                   help="rematerialize forwards in the backward pass "
+                        "(less activation memory, larger batches)")
     p.add_argument("--dump_samples", action="store_true", default=True)
     p.add_argument("--trace_dir", default=None,
                    help="capture a jax.profiler device trace here")
@@ -75,6 +78,9 @@ def main(argv=None) -> int:
         import dataclasses as _dc
         cfg = _dc.replace(cfg, train=_dc.replace(
             cfg.train, compute_dtype=args.compute_dtype))
+    if args.remat:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, train=_dc.replace(cfg.train, remat=True))
     workers = (cfg.train.num_workers if args.num_workers is None
                else args.num_workers)  # 0 is a valid request
 

@@ -162,6 +162,19 @@ def _apply_train(model, params, batch_stats, *args, compute_dtype=None):
     return out, new_bs
 
 
+def _forward(model, compute_dtype, remat):
+    """A (params, batch_stats, *inputs) → (out, new_bs) train-mode forward,
+    optionally wrapped in ``jax.checkpoint``: with remat the backward pass
+    recomputes activations instead of keeping every conv feature map live,
+    trading ~1/3 more FLOPs for activation memory — the lever for larger
+    per-chip batches (train.remat)."""
+    def fwd(params, batch_stats, *inputs):
+        return _apply_train(model, params, batch_stats, *inputs,
+                            compute_dtype=compute_dtype)
+
+    return jax.checkpoint(fwd) if remat else fwd
+
+
 def _sync_loss(sync_model, sync_vars, mel, g, compute_dtype=None):
     """Frozen-expert sync loss; train-mode BN (see module docstring), stat
     updates discarded."""
@@ -183,17 +196,16 @@ def _sync_loss(sync_model, sync_vars, mel, g, compute_dtype=None):
 
 
 def make_syncnet_steps(tx: optax.GradientTransformation, mesh=None,
-                       compute_dtype=None):
+                       compute_dtype=None, remat: bool = False):
     model = SyncNet()
+    forward = _forward(model, compute_dtype, remat)
 
     def train_body(state: TrainState, mel, faces, y, *, reduce):
         if mel.ndim == 3:  # (B, 80, 16) from the data pipeline → NHWC
             mel = mel[..., None]
 
         def loss_fn(params):
-            (a, v), new_bs = _apply_train(model, params, state.batch_stats,
-                                          mel, faces,
-                                          compute_dtype=compute_dtype)
+            (a, v), new_bs = forward(params, state.batch_stats, mel, faces)
             a, v = a.astype(jnp.float32), v.astype(jnp.float32)
             return cosine_bce_loss(a, v, y), new_bs
 
@@ -227,16 +239,16 @@ def make_syncnet_steps(tx: optax.GradientTransformation, mesh=None,
 
 
 def make_wav2lip_steps(tx: optax.GradientTransformation, mesh=None,
-                       compute_dtype=None):
+                       compute_dtype=None, remat: bool = False):
     gen = Wav2LipGenerator()
     sync = SyncNet()
+    gen_forward = _forward(gen, compute_dtype, remat)
 
     def train_body(state: TrainState, sync_vars, batch: Dict[str, jax.Array],
                    syncnet_wt, *, use_sync: bool, reduce):
         def loss_fn(params):
-            g, new_bs = _apply_train(gen, params, state.batch_stats,
-                                     batch["indiv_mels"], batch["x"],
-                                     compute_dtype=compute_dtype)
+            g, new_bs = gen_forward(params, state.batch_stats,
+                                    batch["indiv_mels"], batch["x"])
             l1 = l1_loss(g, batch["gt"])
             if use_sync:
                 s = _sync_loss(sync, sync_vars, batch["mel"][..., None], g,
@@ -282,7 +294,7 @@ def make_wav2lip_steps(tx: optax.GradientTransformation, mesh=None,
 
 def make_gan_steps(gen_tx: optax.GradientTransformation,
                    disc_tx: optax.GradientTransformation, mesh=None,
-                   compute_dtype=None):
+                   compute_dtype=None, remat: bool = False):
     """The generator update and the discriminator update are two separately
     jitted programs chained by a host-side wrapper: the reference also runs
     them as two sequential optimizer steps (hq_wav2lip_train.py:221-256), the
@@ -293,14 +305,14 @@ def make_gan_steps(gen_tx: optax.GradientTransformation,
     gen = Wav2LipGenerator()
     sync = SyncNet()
     disc = QualityDiscriminator()
+    gen_forward = _forward(gen, compute_dtype, remat)
 
     def gen_body(gen_state: TrainState, disc_params, sync_vars, batch,
                  syncnet_wt, disc_wt, *, use_sync: bool, reduce):
         # generator update (hq_wav2lip_train.py:221-243)
         def gen_loss_fn(params):
-            g, new_bs = _apply_train(gen, params, gen_state.batch_stats,
-                                     batch["indiv_mels"], batch["x"],
-                                     compute_dtype=compute_dtype)
+            g, new_bs = gen_forward(params, gen_state.batch_stats,
+                                    batch["indiv_mels"], batch["x"])
             l1 = l1_loss(g, batch["gt"])
             if use_sync:
                 s = _sync_loss(sync, sync_vars, batch["mel"][..., None], g,

@@ -171,7 +171,8 @@ class SyncNetTrainer(_BaseTrainer):
         tcfg = config.train
         self.tx = optax.adam(tcfg.syncnet_lr, b1=tcfg.adam_b1, b2=tcfg.adam_b2)
         self.train_step, self.eval_step = make_syncnet_steps(
-            self.tx, mesh=self.mesh, compute_dtype=self._compute_dtype(tcfg)
+            self.tx, mesh=self.mesh, compute_dtype=self._compute_dtype(tcfg),
+            remat=getattr(tcfg, "remat", False),
         )
         model = SyncNet()
         variables = jax.jit(model.init)(
@@ -288,12 +289,14 @@ class Wav2LipTrainer(_BaseTrainer):
             self.train_step, self.eval_step = make_gan_steps(
                 self.tx, self.disc_tx, mesh=self.mesh,
                 compute_dtype=self._compute_dtype(tcfg),
+                remat=getattr(tcfg, "remat", False),
             )
             self.wt_after_trigger = 0.03  # hq_wav2lip_train.py:290
         else:
             self.train_step, self.eval_step = make_wav2lip_steps(
                 self.tx, mesh=self.mesh,
                 compute_dtype=self._compute_dtype(tcfg),
+                remat=getattr(tcfg, "remat", False),
             )
             self.wt_after_trigger = tcfg.syncnet_wt_after_trigger  # 0.01
 
