@@ -229,3 +229,38 @@ class TestWavIO:
         wavfile.write(p, 16000, wav)
         back = load_wav(p, 16000)
         assert back.shape == (1600,)
+
+
+class TestConfigVariants:
+    def test_asymmetric_mels_roundtrip(self):
+        """symmetric_mels=False maps to [0, max_abs] (reference audio.py
+        110-136's other branch) and denormalize inverts it."""
+        import dataclasses
+
+        from wav2lip_tpu.config import DEFAULT_AUDIO
+
+        cfg = dataclasses.replace(DEFAULT_AUDIO, symmetric_mels=False)
+        fe = MelFrontend(cfg)
+        wav = make_wav(8000)
+        S = fe.melspectrogram(wav)
+        assert S.min() >= 0.0 and S.max() <= cfg.max_abs_value
+        D = fe.denormalize(S)
+        assert D.min() >= cfg.min_level_db - 1e-4
+        # jax path agrees with the host path in this mode too
+        Sj = np.asarray(fe.melspectrogram_jax(wav))
+        assert np.max(np.abs(Sj - S)) < 5e-3
+
+    def test_jax_path_win_smaller_than_nfft(self):
+        """win_size < n_fft center-pads the window on the device path like
+        the host path (used to raise a broadcast error)."""
+        import dataclasses
+
+        from wav2lip_tpu.config import DEFAULT_AUDIO
+
+        cfg = dataclasses.replace(DEFAULT_AUDIO, win_size=400)
+        fe = MelFrontend(cfg)
+        wav = make_wav(6400)
+        S = fe.melspectrogram(wav)
+        Sj = np.asarray(fe.melspectrogram_jax(wav))
+        assert Sj.shape == S.shape
+        assert np.max(np.abs(Sj - S)) < 5e-3

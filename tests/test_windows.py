@@ -151,3 +151,13 @@ class TestSmoothBoxes:
     def test_constant_invariant(self):
         boxes = np.tile([1.0, 2.0, 3.0, 4.0], (8, 1))
         np.testing.assert_allclose(smooth_boxes(boxes, T=5), boxes)
+
+
+def test_mel_chunk_starts_rejects_unknown_tail():
+    """A typo'd tail mode must not silently drop the final window."""
+    import pytest
+
+    from wav2lip_tpu.data.windows import mel_chunk_starts
+
+    with pytest.raises(ValueError, match="tail"):
+        mel_chunk_starts(100, 25.0, tail="right-align")

@@ -137,19 +137,29 @@ def _amp_to_db_np(x: np.ndarray, cfg: AudioConfig) -> np.ndarray:
 
 
 def _normalize_np(S: np.ndarray, cfg: AudioConfig) -> np.ndarray:
-    # Reference defaults: allow_clipping_in_normalization=True,
-    # symmetric_mels=True (audio.py:110-116).
+    # Both reference branches (audio.py:110-122): symmetric_mels=True maps
+    # to [-max_abs, max_abs] (the default), False to [0, max_abs].
     m = cfg.max_abs_value
-    scaled = (2.0 * m) * ((S - cfg.min_level_db) / (-cfg.min_level_db)) - m
+    frac = (S - cfg.min_level_db) / (-cfg.min_level_db)
+    if cfg.symmetric_mels:
+        scaled = (2.0 * m) * frac - m
+        lo = -m
+    else:
+        scaled = m * frac
+        lo = 0.0
     if cfg.allow_clipping_in_normalization:
-        scaled = np.clip(scaled, -m, m)
+        scaled = np.clip(scaled, lo, m)
     return scaled
 
 
 def _denormalize_np(D: np.ndarray, cfg: AudioConfig) -> np.ndarray:
+    # inverse of both branches (audio.py:124-136)
     m = cfg.max_abs_value
-    D = np.clip(D, -m, m) if cfg.allow_clipping_in_normalization else D
-    return ((D + m) * -cfg.min_level_db / (2.0 * m)) + cfg.min_level_db
+    if cfg.symmetric_mels:
+        D = np.clip(D, -m, m) if cfg.allow_clipping_in_normalization else D
+        return ((D + m) * -cfg.min_level_db / (2.0 * m)) + cfg.min_level_db
+    D = np.clip(D, 0, m) if cfg.allow_clipping_in_normalization else D
+    return (D * -cfg.min_level_db / m) + cfg.min_level_db
 
 
 # ---------------------------------------------------------------------------
@@ -177,7 +187,16 @@ class MelFrontend:
         )
         self.window = periodic_hann(cfg.win_size)
         self._mel_basis_j = jnp.asarray(self.mel_basis)
-        self._window_j = jnp.asarray(self.window)
+        # the device path multiplies (.., n_fft) frames, so center-pad the
+        # window up front when win_size < n_fft (the host path pads inside
+        # _stft_magnitude_np; librosa's util.pad_center semantics)
+        window_full = self.window
+        if cfg.win_size < cfg.n_fft:
+            lpad = (cfg.n_fft - cfg.win_size) // 2
+            window_full = np.pad(
+                window_full, (lpad, cfg.n_fft - cfg.win_size - lpad)
+            )
+        self._window_j = jnp.asarray(window_full)
 
     # -- host --------------------------------------------------------------
 
@@ -244,9 +263,13 @@ class MelFrontend:
         S = 20.0 * jnp.log10(jnp.maximum(min_level, mel)) - cfg.ref_level_db
         if cfg.signal_normalization:
             m = cfg.max_abs_value
-            S = (2.0 * m) * ((S - cfg.min_level_db) / (-cfg.min_level_db)) - m
+            frac = (S - cfg.min_level_db) / (-cfg.min_level_db)
+            if cfg.symmetric_mels:
+                S, lo = (2.0 * m) * frac - m, -m
+            else:
+                S, lo = m * frac, 0.0
             if cfg.allow_clipping_in_normalization:
-                S = jnp.clip(S, -m, m)
+                S = jnp.clip(S, lo, m)
         return S
 
 

@@ -63,7 +63,7 @@ def _dft_matrices(n_fft: int, f_pad: int) -> tuple[np.ndarray, np.ndarray]:
 
 def _mel_kernel(*refs, tile: int, r: int, min_level: float,
                 ref_level_db: float, min_level_db: float, max_abs: float,
-                normalize: bool):
+                normalize: bool, symmetric: bool):
     y_refs = refs[:r]          # r blocked (tile, hop) row-shifted streams
     win_ref, cos_ref, sin_ref, mel_ref, out_ref = refs[r:]
     hop = win_ref.shape[1]
@@ -92,8 +92,12 @@ def _mel_kernel(*refs, tile: int, r: int, min_level: float,
     S = 20.0 * (jnp.log(jnp.maximum(min_level, mel)) / np.log(10.0))
     S = S - ref_level_db
     if normalize:
-        S = (2.0 * max_abs) * ((S - min_level_db) / (-min_level_db)) - max_abs
-        S = jnp.clip(S, -max_abs, max_abs)
+        frac = (S - min_level_db) / (-min_level_db)
+        if symmetric:  # audio.py:110-122 branches
+            S = jnp.clip((2.0 * max_abs) * frac - max_abs,
+                         -max_abs, max_abs)
+        else:
+            S = jnp.clip(max_abs * frac, 0.0, max_abs)
     out_ref[:] = S
 
 
@@ -128,6 +132,7 @@ def _fused_mel(y_rows, window, cos_m, sin_m, mel_m, blocks: int,
         min_level_db=float(cfg.min_level_db),
         max_abs=float(cfg.max_abs_value),
         normalize=bool(cfg.signal_normalization),
+        symmetric=bool(cfg.symmetric_mels),
     )
     out = pl.pallas_call(
         kernel,

@@ -43,6 +43,10 @@ def mel_chunk_starts(
     Returns an int32 array of shape (num_chunks,); the number of chunks is the
     number of video frames that will be generated.
     """
+    if tail not in ("right_align", "drop"):
+        raise ValueError(
+            f"tail must be 'right_align' or 'drop', got {tail!r}"
+        )
     if num_mel_frames < mel_step_size:
         raise ValueError(
             f"need at least {mel_step_size} mel frames, got {num_mel_frames}"

@@ -48,6 +48,17 @@ class LSEResult:
 
 
 class LSEScorer:
+    """Self-contained LSE-D/LSE-C scorer over this framework's SyncNet.
+
+    Input-framing caveat: frames are resized whole to the 96×96 SyncNet
+    input — no face detection/crop happens here, so scores are meaningful
+    for face-cropped clips (LRS2-style corpora, the eval generators'
+    output) but NOT for full-scene videos where the face is a small region.
+    For published-number comparability use
+    :class:`wav2lip_tpu.eval.syncnet_protocol.SyncNetPythonScorer`, which
+    follows the external protocol (224² frames, MFCCs, its own model).
+    """
+
     def __init__(self, sync_vars, config: Config = DEFAULT_CONFIG,
                  vshift: int = 15, batch_size: int = 64):
         from wav2lip_tpu.utils.transfer import put_tree
@@ -74,15 +85,18 @@ class LSEScorer:
         step = self.cfg.model.mel_step_size
         size = self.cfg.model.img_size
         n = len(frames)
+        # each frame participates in up to T overlapping windows — resize
+        # and lower-half once per FRAME, not once per window (the resize is
+        # the dominant host cost of scoring)
+        lower = np.stack([
+            cv2.resize(f, (size, size))[size // 2 :] for f in frames
+        ])                                           # (n, 48, 96, 3)
         faces, mels = [], []
         for i in range(n - T + 1):
             start = crop_window_start(i, fps)
             if start + step > mel_tm.shape[0]:
                 break
-            win = frames[i : i + T]
-            win = np.stack(
-                [cv2.resize(f, (size, size)) for f in win]
-            )[:, size // 2 :]                       # (T, 48, 96, 3)
+            win = lower[i : i + T]                   # (T, 48, 96, 3)
             faces.append(
                 np.transpose(win, (1, 2, 0, 3)).reshape(size // 2, size, T * 3)
             )

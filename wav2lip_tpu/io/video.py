@@ -333,6 +333,10 @@ class MJPEGWriter(_AVIWriterBase):
         super().__init__(path, fps, frame_size_hw)
 
     def encode_frame(self, frame_bgr: np.ndarray) -> bytes:
+        if frame_bgr.shape[:2] != (self.h, self.w):
+            raise ValueError(
+                f"frame shape {frame_bgr.shape[:2]} != {(self.h, self.w)}"
+            )
         ok, buf = cv2.imencode(
             ".jpg", frame_bgr, [cv2.IMWRITE_JPEG_QUALITY, self.quality]
         )
@@ -408,7 +412,8 @@ def extract_audio(media_path: str, out_wav: Optional[str] = None,
             "provide a .wav file instead"
         )
     if out_wav is None:
-        out_wav = tempfile.mktemp(suffix=".wav")
+        fd, out_wav = tempfile.mkstemp(suffix=".wav")
+        os.close(fd)  # ffmpeg rewrites it; mkstemp reserves a unique name
     subprocess.check_call(
         ["ffmpeg", "-loglevel", "error", "-y", "-i", media_path,
          "-ar", str(sample_rate), "-ac", "1", out_wav]
@@ -434,7 +439,9 @@ def mux_audio(video_path: str, audio_path: str, outfile: str,
         )
     else:
         if move:
-            os.replace(video_path, outfile)
+            # shutil.move copies+removes across filesystems, where a bare
+            # os.replace raises EXDEV (temp on tmpfs, outfile on disk)
+            shutil.move(video_path, outfile)
         else:
             shutil.copyfile(video_path, outfile)
         print(

@@ -20,6 +20,7 @@ from typing import Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 IntPair = Union[int, Tuple[int, int]]
@@ -33,6 +34,21 @@ def _pair(v: IntPair) -> Tuple[int, int]:
 kaiming_uniform = jax.nn.initializers.variance_scaling(
     1.0 / 3.0, "fan_in", "uniform"
 )
+
+
+def torch_uniform_init(fan_in: int):
+    """U(±1/sqrt(fan_in)) with an explicit fan — torch's default for conv
+    BIASES (fan of the weight, which the bias shape can't convey to a flax
+    initializer) and for ConvTranspose2d weights (whose torch fan_in is
+    out_channels·kh·kw — weight.size(1)·receptive_field on the (in, out, kh,
+    kw) layout — not the in-channel fan variance_scaling would derive from
+    HWIO)."""
+    bound = 1.0 / float(np.sqrt(fan_in))
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
 
 
 class ConvBNRelu(nn.Module):
@@ -51,12 +67,14 @@ class ConvBNRelu(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         ph, pw = _pair(self.padding)
+        kh, kw = _pair(self.kernel_size)
         out = nn.Conv(
             self.features,
-            kernel_size=_pair(self.kernel_size),
+            kernel_size=(kh, kw),
             strides=_pair(self.strides),
             padding=[(ph, ph), (pw, pw)],
             kernel_init=kaiming_uniform,
+            bias_init=torch_uniform_init(x.shape[-1] * kh * kw),
             name="conv",
         )(x)
         out = nn.BatchNorm(
@@ -83,12 +101,14 @@ class ConvLeaky(nn.Module):
     @nn.compact
     def __call__(self, x):
         ph, pw = _pair(self.padding)
+        kh, kw = _pair(self.kernel_size)
         out = nn.Conv(
             self.features,
-            kernel_size=_pair(self.kernel_size),
+            kernel_size=(kh, kw),
             strides=_pair(self.strides),
             padding=[(ph, ph), (pw, pw)],
             kernel_init=kaiming_uniform,
+            bias_init=torch_uniform_init(x.shape[-1] * kh * kw),
             name="conv",
         )(x)
         return nn.leaky_relu(out, negative_slope=0.01)
@@ -117,12 +137,13 @@ class TorchConvTranspose(nn.Module):
         ph, pw = _pair(self.padding)
         oph, opw = _pair(self.output_padding)
         in_features = x.shape[-1]
+        # torch ConvTranspose2d fan_in (weights AND bias) = out_ch * kh * kw
+        fan = self.features * kh * kw
         kernel = self.param(
-            "kernel", kaiming_uniform, (kh, kw, in_features, self.features)
+            "kernel", torch_uniform_init(fan),
+            (kh, kw, in_features, self.features)
         )
-        bias = self.param(
-            "bias", jax.nn.initializers.zeros, (self.features,)
-        )
+        bias = self.param("bias", torch_uniform_init(fan), (self.features,))
         # The fractional stride is materialized as an explicit interior-
         # zero pad (lax.pad interior=stride-1) followed by a PLAIN stride-1
         # conv, rather than passing lhs_dilation to the conv. Numerically

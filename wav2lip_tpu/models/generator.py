@@ -2,7 +2,7 @@
 
 Topology parity with reference models/wav2lip.py:8-125 (36,298,035 params):
 a 7-stage face encoder over 6-channel input (masked-lower-half target frame
-concatenated with a reference frame), a 14-layer audio encoder mapping a
+concatenated with a reference frame), a 13-layer audio encoder mapping a
 (80, 16) mel window to a 512-d embedding, and a 7-stage decoder whose every
 stage output is concatenated with the matching encoder skip.
 
