@@ -120,6 +120,11 @@ def cmd_generate(args) -> int:
             # (bfloat16 stays the product-inference default)
             compute_dtype="float32",
         ),
+        # detection too: bf16 S3FD shifts borderline boxes by ~a pixel,
+        # which changes every crop the scored output is built from
+        detect=dataclasses.replace(
+            DEFAULT_CONFIG.detect, compute_dtype="float32"
+        ),
     )
     gen_vars = load_model_variables(args.checkpoint_path, import_generator)
     from wav2lip_tpu.parallel import maybe_data_parallel_mesh
@@ -145,7 +150,11 @@ def cmd_generate(args) -> int:
 
     os.makedirs(args.results_dir, exist_ok=True)
     with open(args.filelist) as f:
-        pairs = [ln.split() for ln in f if ln.strip()]
+        raw = [ln.split() for ln in f if ln.strip()]
+    pairs = [p for p in raw if len(p) == 2]
+    if len(pairs) != len(raw):
+        print(f"warning: skipped {len(raw) - len(pairs)} malformed filelist "
+              f"line(s) (expected 'audio_id video_id')")
     ok = skipped = 0
     for idx, (audio_id, video_id) in enumerate(pairs):
         out = join(args.results_dir, f"{idx}.mp4")
@@ -272,6 +281,9 @@ def cmd_real(args) -> int:
             wav2lip_batch_size=args.wav2lip_batch_size,
             compute_dtype="float32",  # scored output: match reference path
         ),
+        detect=dataclasses.replace(
+            DEFAULT_CONFIG.detect, compute_dtype="float32"
+        ),
     )
     gen_vars = load_model_variables(args.checkpoint_path, import_generator)
     detector = FaceDetectionPipeline(
@@ -284,12 +296,17 @@ def cmd_real(args) -> int:
     temp = join(args.results_dir, "temp")
     os.makedirs(temp, exist_ok=True)
     with open(args.filelist) as f:
-        pairs = [ln.split() for ln in f if ln.strip()]
+        raw = [ln.split() for ln in f if ln.strip()]
+    pairs = [p for p in raw if len(p) == 2]
+    if len(pairs) != len(raw):
+        print(f"warning: skipped {len(raw) - len(pairs)} malformed filelist "
+              f"line(s) (expected 'audio_id video_id')")
     for idx, (video_id, audio_id) in enumerate(pairs):
         try:
             vpath = join(args.data_root, video_id)
             apath = join(args.data_root, audio_id)
             frames, fps = read_video_frames(vpath)
+            orig_frames = frames
             if args.mode in ("random", "tts"):
                 boxes = detector.first_face_boxes(np.asarray(frames[:1]))
                 if boxes[0] is not None:
@@ -301,12 +318,19 @@ def cmd_real(args) -> int:
                 wav = load_wav(apath, cfg.audio.sample_rate)
                 needed = int(len(wav) / cfg.audio.sample_rate * fps) + 1
                 frames = increase_frames(frames, needed)
-            prepped = join(temp, f"prepped_{idx}.avi")
-            with VideoFrameWriter(prepped, fps, frames[0].shape[:2],
-                                  fourcc="DIVX") as w:
-                for fr in frames:
-                    w.write(fr)
-            pipeline.run(prepped, apath, join(args.results_dir, f"{idx}.mp4"),
+            if frames is orig_frames or len(frames) == len(orig_frames) and \
+                    frames[0] is orig_frames[0]:
+                # untouched (dubbed mode, or no face/rescale needed): feed
+                # the source file directly — the DIVX re-encode would add a
+                # lossy generation to frames that get LSE-scored
+                src = vpath
+            else:
+                src = join(temp, f"prepped_{idx}.avi")
+                with VideoFrameWriter(src, fps, frames[0].shape[:2],
+                                      fourcc="DIVX") as w:
+                    for fr in frames:
+                        w.write(fr)
+            pipeline.run(src, apath, join(args.results_dir, f"{idx}.mp4"),
                          temp_dir=temp)
         except KeyboardInterrupt:
             return 1

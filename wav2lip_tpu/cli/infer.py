@@ -125,7 +125,9 @@ def main(argv=None) -> int:
     with device_trace(args.trace_dir):
         out = pipeline.run(
             args.face, args.audio, args.outfile,
-            fps=args.fps if args.static or args.face.lower().endswith(
+            # --fps applies only to still images; a video keeps its own fps
+            # even in --static mode (reference inference.py:186-196)
+            fps=args.fps if args.face.lower().endswith(
                 (".jpg", ".jpeg", ".png")) else None,
             temp_dir=args.temp_dir,
         )

@@ -39,7 +39,10 @@ def build_parser():
     p.add_argument("--remat", action="store_true", default=False,
                    help="rematerialize forwards in the backward pass "
                         "(less activation memory, larger batches)")
-    p.add_argument("--dump_samples", action="store_true", default=True)
+    p.add_argument("--dump_samples", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="write ref/input/generated/gt collages at every "
+                        "checkpoint (--no-dump_samples disables)")
     p.add_argument("--trace_dir", default=None,
                    help="capture a jax.profiler device trace here")
     # multi-host (pod slice) wiring; also settable via W2L_COORDINATOR etc.

@@ -239,6 +239,7 @@ class PrefetchLoader:
         self.batch_size = batch_size
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
+        self._error: Optional[BaseException] = None
         # at least one worker: zero threads would make __next__ block
         # forever (num_workers=0 means "minimal parallelism", not "no data")
         self._threads = [
@@ -255,22 +256,36 @@ class PrefetchLoader:
         return tuple(np.stack(col) for col in zip(*samples))
 
     def _worker(self):
-        while not self._stop.is_set():
-            batch = self._collate(
-                [self.sample_fn() for _ in range(self.batch_size)]
-            )
+        try:
             while not self._stop.is_set():
-                try:
-                    self._q.put(batch, timeout=0.5)
-                    break
-                except queue.Full:
-                    continue
+                batch = self._collate(
+                    [self.sample_fn() for _ in range(self.batch_size)]
+                )
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # noqa: BLE001 — re-raised in __next__
+            # a dying worker must not turn into a silent forever-block on
+            # the consumer side (one bad file in a video dir used to hang
+            # training with no traceback)
+            self._error = e
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        return self._q.get()
+        while True:
+            if self._error is not None:
+                raise RuntimeError(
+                    "PrefetchLoader worker failed"
+                ) from self._error
+            try:
+                return self._q.get(timeout=0.5)
+            except queue.Empty:
+                continue
 
     def close(self):
         self._stop.set()

@@ -38,7 +38,7 @@ def target_scale_for_face(
     h = frame_hw[0]
     scale = face_res / face_h
     scale = min(scale, max_frame_res / h)
-    scale = max(scale, min_frame_res / h) if h * scale < min_frame_res else scale
+    scale = max(scale, min_frame_res / h)
     return float(scale)
 
 

@@ -62,7 +62,7 @@ def local_batch_size(global_batch: int) -> int:
     n = jax.process_count()
     if global_batch % n:
         raise ValueError(
-            f"global batch {global_batch} must divide the {n} processes"
+            f"global batch {global_batch} must be divisible by the {n} processes"
         )
     return global_batch // n
 

@@ -201,7 +201,9 @@ class SyncNetTrainer(_BaseTrainer):
             self.global_step += 1
             self._tick_epoch(steps_per_epoch)
             self._log_train(metrics)
-            running += float(metrics["loss"]); seen += 1
+            # accumulate the DEVICE scalar: float() here would block the
+            # host every step and defeat async dispatch
+            running = running + metrics["loss"]; seen += 1
             if (self.global_step == 1
                     or self.global_step % tcfg.syncnet_checkpoint_interval == 0
                     or self.global_step == max_steps):
@@ -210,8 +212,9 @@ class SyncNetTrainer(_BaseTrainer):
                     and self.global_step % tcfg.syncnet_eval_interval == 0):
                 last = self.evaluate(val_iter, eval_batches)
                 self.metrics_logger.log(self.global_step, last, prefix="eval")
-        self.log(f"[syncnet] avg train loss {running / max(seen, 1):.4f}")
-        return last or {"loss": running / max(seen, 1)}
+        avg = float(running) / max(seen, 1)
+        self.log(f"[syncnet] avg train loss {avg:.4f}")
+        return last or {"loss": avg}
 
     def evaluate(self, val_iter: Iterator, num_batches: int):
         losses = []
@@ -304,11 +307,18 @@ class Wav2LipTrainer(_BaseTrainer):
         sharded = self._shard(batch)
         wt = np.float32(self.syncnet_wt)
         if self.gan:
-            self.state, self.disc_state, metrics = self.train_step(
-                self.state, self.disc_state, self.sync_vars, sharded,
+            # drive the two exposed programs directly so the generated
+            # batch is available for the sample-image dumps (the combined
+            # wrapper drops it; hq_wav2lip_train.py:279-282 dumps collages
+            # at every checkpoint)
+            self.state, gmetrics, g = self.train_step.gen_step(
+                self.state, self.disc_state.params, self.sync_vars, sharded,
                 wt, np.float32(self.disc_wt), use_sync=self.syncnet_wt > 0.0,
             )
-            return metrics, None
+            self.disc_state, dmetrics = self.train_step.disc_step(
+                self.disc_state, sharded["gt"], g
+            )
+            return {**gmetrics, **dmetrics}, g
         self.state, metrics, g = self.train_step(
             self.state, self.sync_vars, sharded, wt,
             use_sync=self.syncnet_wt > 0.0,
