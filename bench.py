@@ -55,7 +55,14 @@ def main():
     from wav2lip_tpu.infer import LipSyncPipeline
     from wav2lip_tpu.models import Wav2LipGenerator
 
-    tmp = tempfile.mkdtemp(prefix="w2l_bench_")
+    # scratch on a RAM-backed fs when available: the in-place preallocated
+    # raw sink (io.video.PreallocRawAVIWriter, codec="auto") then lands
+    # decode+composite directly in the output file, and the bench measures
+    # the pipeline rather than this host's disk (measured 0.03-0.22 GB/s
+    # effective on /tmp here vs 2.5 GB/s on /dev/shm)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") and os.access(
+        "/dev/shm", os.W_OK) else None
+    tmp = tempfile.mkdtemp(prefix="w2l_bench_", dir=base)
     w = res * 16 // 9
     video = make_video(os.path.join(tmp, "face.mp4"),
                        num_frames=int(seconds * fps), fps=fps, w=w, h=res)

@@ -161,6 +161,39 @@ class TestMelSpectrogram:
         assert db.min() >= -100.0 - 1e-4
 
 
+class TestLibrosaRederivation:
+    """Independent librosa-0.7 chain cross-check (SURVEY §7 'hard parts' #1,
+    second line of evidence).
+
+    ``tests/librosa_ref.py`` re-derives librosa 0.7's documented stft +
+    filters.mel semantics with deliberately different code (scalar per-filter
+    triangle loops, scipy's own get_window and lfilter) — agreement between
+    that oracle and ``wav2lip_tpu.audio.mel`` bounds implementation drift in
+    a way a same-code golden cannot.
+    """
+
+    def test_filterbank_matches_independent_derivation(self):
+        import librosa_ref
+
+        from wav2lip_tpu.audio.mel import mel_filterbank
+
+        ours = mel_filterbank(16000, 800, 80, 55.0, 7600.0)
+        oracle = librosa_ref.mel_filterbank(16000, 800, 80, 55.0, 7600.0)
+        np.testing.assert_allclose(ours, oracle, atol=1e-6)
+
+    def test_full_chain_matches_independent_derivation(self, frontend):
+        import librosa_ref
+
+        for seed, n in [(0, 16000), (1, 16123), (2, 5000)]:
+            rng = np.random.default_rng(seed)
+            wav = (0.3 * np.sin(2 * np.pi * 220 * np.arange(n) / 16000)
+                   + 0.05 * rng.standard_normal(n)).astype(np.float32)
+            ours = frontend.melspectrogram(wav)
+            oracle = librosa_ref.melspectrogram(wav.astype(np.float64))
+            assert ours.shape == oracle.shape
+            np.testing.assert_allclose(ours, oracle, atol=2e-4)
+
+
 class TestGoldenMelVectors:
     """Drift-detector golden vectors (SURVEY §7 'hard parts' #1).
 
@@ -169,8 +202,9 @@ class TestGoldenMelVectors:
     mel_golden.npz, 4 wav/mel pairs incl. odd lengths) — they pin today's
     numerics so any future refactor that shifts melspectrogram output is
     caught. Structural parity with librosa 0.7 semantics is covered by the
-    torch.stft / scipy.lfilter / Slaney-property tests above; the remaining
-    librosa gap is documented in docs/DESIGN.md's deviation table.
+    torch.stft / scipy.lfilter / Slaney-property tests above and by the
+    independent re-derivation oracle (TestLibrosaRederivation); the
+    remaining librosa gap is documented in docs/DESIGN.md's deviation table.
     """
 
     @pytest.fixture(scope="class")

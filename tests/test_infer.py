@@ -84,6 +84,48 @@ class TestBoxInference:
         assert inside > 5.0
         assert outside < 6.0  # codec noise only
 
+    @pytest.mark.skipif(
+        not (os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)),
+        reason="no /dev/shm",
+    )
+    def test_inplace_prealloc_matches_buffered_raw(self, gen_vars, media,
+                                                   tmp_path):
+        """codec="auto" on a RAM-backed sink takes the in-place path (decode
+        and composite land directly in the memory-mapped output file); its
+        frames must be bit-identical to the buffered codec="raw" path."""
+        import tempfile
+
+        from wav2lip_tpu.io.video import PreallocRawAVIWriter
+
+        video, wav = media
+        with tempfile.TemporaryDirectory(dir="/dev/shm") as shm:
+            out_auto = os.path.join(shm, "auto.avi")
+            pipe = LipSyncPipeline(gen_vars, detector=None,
+                                   config=box_config())
+            pipe.run(video, wav, out_auto, temp_dir=os.path.join(shm, "t"))
+            # the sink really was the preallocated in-place writer
+            probe = pipe.cfg  # auto resolution is in make_frame_writer
+            w = None
+            from wav2lip_tpu.io.video import make_frame_writer
+            w = make_frame_writer(os.path.join(shm, "probe.avi"), 25.0,
+                                  (128, 128), codec=probe.infer.codec,
+                                  n_frames_hint=22)
+            assert isinstance(w, PreallocRawAVIWriter)
+            w.frame_view(0)[:] = 0
+            w.commit(0)
+            w.close()
+
+            out_raw = str(tmp_path / "raw.avi")
+            pipe2 = LipSyncPipeline(gen_vars, detector=None,
+                                    config=box_config(codec="raw"))
+            pipe2.run(video, wav, out_raw, temp_dir=str(tmp_path / "t2"))
+
+            a = read_all_frames(out_auto)
+            b = read_all_frames(out_raw)
+            assert len(a) == len(b) == 22
+            for fa, fb in zip(a, b):
+                np.testing.assert_array_equal(fa, fb)
+
     def test_static_image_input(self, gen_vars, media, tmp_path):
         video, wav = media
         img_path = str(tmp_path / "face.png")

@@ -74,6 +74,108 @@ class TestRawAVIWriter:
         w.close()
 
 
+SHM = "/dev/shm"
+has_shm = os.path.isdir(SHM) and os.access(SHM, os.W_OK)
+
+
+class TestPreallocRawAVIWriter:
+    def test_view_roundtrip_bit_exact(self, tmp_path):
+        """Pixels written through memory-mapped frame views come back
+        bit-exact through cv2 — in-place decode/composite is lossless."""
+        from wav2lip_tpu.io.video import PreallocRawAVIWriter
+
+        frames = [synth_face_frame(128, 72, t) for t in range(6)]
+        p = str(tmp_path / "pre.avi")
+        with PreallocRawAVIWriter(p, 25.0, (72, 128), max_frames=6) as w:
+            # commit out of order: the composite stage is unordered
+            for i in (1, 0, 3, 2, 5, 4):
+                np.copyto(w.frame_view(i), frames[i])
+                w.commit(i)
+        cap = cv2.VideoCapture(p)
+        assert cap.isOpened()
+        assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 6
+        for want in frames:
+            ok, got = cap.read()
+            assert ok
+            np.testing.assert_array_equal(got, want)
+        cap.release()
+
+    def test_truncation_below_max_frames(self, tmp_path):
+        """Committing fewer frames than preallocated trims the file to the
+        committed prefix (streaming sources may end early)."""
+        from wav2lip_tpu.io.video import PreallocRawAVIWriter
+
+        p = str(tmp_path / "trunc.avi")
+        w = PreallocRawAVIWriter(p, 25.0, (32, 32), max_frames=10)
+        for i in range(4):
+            w.frame_view(i)[:] = i * 10
+            w.commit(i)
+        w.close()
+        assert os.path.getsize(p) < 10 * 32 * 32 * 3  # unused slots trimmed
+        cap = cv2.VideoCapture(p)
+        n = 0
+        while cap.read()[0]:
+            n += 1
+        cap.release()
+        assert n == 4
+
+    def test_non_prefix_commit_rejected(self, tmp_path):
+        from wav2lip_tpu.io.video import PreallocRawAVIWriter
+
+        w = PreallocRawAVIWriter(str(tmp_path / "np.avi"), 25.0, (16, 16),
+                                 max_frames=4)
+        w.commit(0)
+        w.commit(2)
+        with pytest.raises(ValueError, match="not a prefix"):
+            w.close()
+
+    def test_unaligned_width_rejected(self, tmp_path):
+        from wav2lip_tpu.io.video import PreallocRawAVIWriter
+
+        with pytest.raises(ValueError, match="4-byte-aligned"):
+            PreallocRawAVIWriter(str(tmp_path / "x.avi"), 25.0, (20, 30),
+                                 max_frames=2)
+
+    @pytest.mark.skipif(not has_shm, reason="no /dev/shm")
+    def test_auto_codec_picks_prealloc_on_tmpfs(self):
+        import tempfile
+
+        from wav2lip_tpu.io.video import (
+            PreallocRawAVIWriter,
+            ram_backed_bytes_free,
+        )
+
+        assert ram_backed_bytes_free(SHM) > 0
+        with tempfile.TemporaryDirectory(dir=SHM) as d:
+            w = make_frame_writer(os.path.join(d, "a.avi"), 25.0, (32, 32),
+                                  codec="auto", n_frames_hint=5)
+            assert isinstance(w, PreallocRawAVIWriter)
+            w.frame_view(0)[:] = 1
+            w.commit(0)
+            w.close()
+
+    def test_auto_codec_falls_back_to_mjpeg(self, tmp_path):
+        from wav2lip_tpu.io.video import ram_backed_bytes_free
+
+        if ram_backed_bytes_free(str(tmp_path)) > 0:
+            pytest.skip("pytest tmp dir is RAM-backed on this host")
+        w = make_frame_writer(str(tmp_path / "a.avi"), 25.0, (32, 32),
+                              codec="auto", n_frames_hint=5)
+        assert isinstance(w, MJPEGWriter)
+        w.close()
+
+    @pytest.mark.skipif(not has_shm, reason="no /dev/shm")
+    def test_auto_codec_needs_frame_hint(self):
+        import tempfile
+
+        with tempfile.TemporaryDirectory(dir=SHM) as d:
+            # no frame-count hint (e.g. unbounded stream): mjpeg even on tmpfs
+            w = make_frame_writer(os.path.join(d, "nohint.avi"), 25.0,
+                                  (32, 32), codec="auto")
+            assert isinstance(w, MJPEGWriter)
+            w.close()
+
+
 class TestMJPEGWriter:
     def test_roundtrip_via_cv2(self, tmp_path):
         frames = [synth_face_frame(128, 72, t) for t in range(9)]

@@ -52,3 +52,29 @@ class TestIncreaseFrames:
             assert vals == sorted(vals)
             # every original frame still present
             assert set(vals) == set(range(n))
+
+    def test_duplicate_placement_matches_reference_exactly(self):
+        """Frame-index-identical to the reference's ceil-accumulator loop
+        (real_videos_inference.py:149-167), transliterated here as the
+        oracle: duplicates land where ceil(next_duplicate) == i with
+        next_duplicate stepping l/len(frames) per source frame."""
+
+        def oracle(frames, l):
+            while len(frames) < l:
+                dup_every = float(l) / len(frames)
+                final_frames = []
+                next_duplicate = 0.0
+                for i, f in enumerate(frames):
+                    final_frames.append(f)
+                    if int(np.ceil(next_duplicate)) == i:
+                        final_frames.append(f)
+                    next_duplicate += dup_every
+                frames = final_frames
+            return frames[:l]
+
+        for n, target in [(10, 15), (10, 20), (5, 23), (3, 10), (7, 8),
+                          (2, 31), (13, 14), (4, 4)]:
+            got = [int(f[0, 0, 0])
+                   for f in increase_frames(frames_of(n), target)]
+            want = [int(f[0, 0, 0]) for f in oracle(frames_of(n), target)]
+            assert got == want, (n, target)

@@ -63,7 +63,7 @@ def _dft_matrices(n_fft: int, f_pad: int) -> tuple[np.ndarray, np.ndarray]:
 
 def _mel_kernel(*refs, tile: int, r: int, min_level: float,
                 ref_level_db: float, min_level_db: float, max_abs: float,
-                normalize: bool, symmetric: bool):
+                normalize: bool, symmetric: bool, clip: bool):
     y_refs = refs[:r]          # r blocked (tile, hop) row-shifted streams
     win_ref, cos_ref, sin_ref, mel_ref, out_ref = refs[r:]
     hop = win_ref.shape[1]
@@ -94,10 +94,13 @@ def _mel_kernel(*refs, tile: int, r: int, min_level: float,
     if normalize:
         frac = (S - min_level_db) / (-min_level_db)
         if symmetric:  # audio.py:110-122 branches
-            S = jnp.clip((2.0 * max_abs) * frac - max_abs,
-                         -max_abs, max_abs)
+            S = (2.0 * max_abs) * frac - max_abs
+            if clip:  # allow_clipping_in_normalization, like the host path
+                S = jnp.clip(S, -max_abs, max_abs)
         else:
-            S = jnp.clip(max_abs * frac, 0.0, max_abs)
+            S = max_abs * frac
+            if clip:
+                S = jnp.clip(S, 0.0, max_abs)
     out_ref[:] = S
 
 
@@ -133,6 +136,7 @@ def _fused_mel(y_rows, window, cos_m, sin_m, mel_m, blocks: int,
         max_abs=float(cfg.max_abs_value),
         normalize=bool(cfg.signal_normalization),
         symmetric=bool(cfg.symmetric_mels),
+        clip=bool(cfg.allow_clipping_in_normalization),
     )
     out = pl.pallas_call(
         kernel,

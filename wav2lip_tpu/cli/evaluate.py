@@ -300,7 +300,8 @@ def cmd_real(args) -> int:
     pairs = [p for p in raw if len(p) == 2]
     if len(pairs) != len(raw):
         print(f"warning: skipped {len(raw) - len(pairs)} malformed filelist "
-              f"line(s) (expected 'audio_id video_id')")
+              f"line(s) (expected 'video_id audio_id' — ReSyncED pairs are "
+              f"video-first)")
     for idx, (video_id, audio_id) in enumerate(pairs):
         try:
             vpath = join(args.data_root, video_id)

@@ -123,13 +123,16 @@ class InferConfig:
     smooth_window: int = 5  # bbox temporal smoothing T (inference.py:102)
     img_size: int = 96
     # -- TPU-native performance knobs (no reference equivalent) --
-    # intermediate video codec: "mjpeg" = direct MJPG-AVI writer (compact;
-    # the ~5 ms/frame JPEG fans out across the composite thread pool, and
-    # ~0.3 MB/frame never outruns the disk), "raw" = uncompressed BGR24 AVI
-    # (zero encode CPU but 6 MB/frame — 1080p25 needs a ≥155 MB/s sink or
-    # writes block on disk writeback), or any cv2 fourcc ("DIVX" for
-    # reference parity, "mp4v", ...)
-    codec: str = "mjpeg"
+    # intermediate video codec: "auto" = memory-mapped lossless BGR24 AVI
+    # when the sink filesystem is RAM-backed with headroom (decode and
+    # composite write pixels straight into the output file; encode and write
+    # stages vanish), falling back to "mjpeg" otherwise; "mjpeg" = direct
+    # MJPG-AVI writer (compact; the ~5 ms/frame JPEG fans out across the
+    # composite thread pool, and ~0.3 MB/frame never outruns the disk);
+    # "raw" = uncompressed BGR24 AVI (zero encode CPU but 6 MB/frame —
+    # 1080p25 needs a ≥155 MB/s sink or writes block on disk writeback); or
+    # any cv2 fourcc ("DIVX" for reference parity, "mp4v", ...)
+    codec: str = "auto"
     jpeg_quality: int = 90
     # generator compute dtype on device; bfloat16 is TPU-native and visually
     # indistinguishable after the *255 uint8 quantization ("float32" opts out)
@@ -137,6 +140,11 @@ class InferConfig:
     # concurrent host<->device copy streams per batch: the link is per-stream
     # windowed (1 stream ~25 MB/s here, 4 streams >1 GB/s aggregate)
     transfer_streams: int = 4
+    # generator batches in flight on the device at once: dispatch and
+    # device_put are async, so K batches upload/compute while batch k-K's
+    # output downloads — round-trip latency (~70 ms on the tunnel measured
+    # here) amortizes over K and the link runs both directions at once
+    inflight_batches: int = 3
     # frames are buffered in RAM only while the clip fits this budget (and
     # always when detection/static/cycling needs random access); above it the
     # pipeline streams the decode and frees frames after compositing

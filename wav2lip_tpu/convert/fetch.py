@@ -55,7 +55,10 @@ def fetch_to(url: str, dest_path: str, timeout: float = 30.0) -> str:
     except Exception as e:
         if os.path.exists(tmp):
             os.remove(tmp)
-        if os.path.exists(dest_path):  # a concurrent fetch won the race
+        # a concurrent fetch may have won the race — but only trust a
+        # pre-existing dest if it passes the hash (a stale/corrupt file at
+        # dest_path must not masquerade as the winner)
+        if os.path.exists(dest_path) and _hash_ok(dest_path, url):
             return dest_path
         if isinstance(e, RuntimeError):
             raise

@@ -52,19 +52,22 @@ def rescale_frames(frames: List[np.ndarray], scale: float) -> List[np.ndarray]:
 
 def increase_frames(frames: List[np.ndarray], target_len: int
                     ) -> List[np.ndarray]:
-    """Evenly duplicate frames until the list reaches ``target_len``
-    (reference real_videos_inference.py:149-167 semantics: insert copies at a
-    regular stride until lengths match)."""
-    if len(frames) >= target_len:
-        return frames[:target_len]
+    """Evenly duplicate frames until the list reaches ``target_len``, with
+    the reference's exact duplicate placement
+    (real_videos_inference.py:149-167): each pass walks the list with a
+    floating accumulator stepping ``target_len / len(frames)`` and appends a
+    duplicate of frame ``i`` whenever ``ceil(accumulator) == i``, repeating
+    whole passes until long enough, then truncates. TTS-mode outputs are
+    frame-for-frame identical to the reference's."""
     out = list(frames)
     while len(out) < target_len:
-        deficit = target_len - len(out)
-        stride = max(len(out) // deficit, 1)
+        dup_every = float(target_len) / len(out)
         merged: List[np.ndarray] = []
+        next_duplicate = 0.0
         for i, f in enumerate(out):
             merged.append(f)
-            if len(merged) + (len(out) - i - 1) < target_len and i % stride == 0:
+            if int(np.ceil(next_duplicate)) == i:
                 merged.append(f)
-        out = merged[:target_len] if len(merged) >= target_len else merged
-    return out
+            next_duplicate += dup_every
+        out = merged
+    return out[:target_len]

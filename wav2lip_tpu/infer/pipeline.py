@@ -54,9 +54,10 @@ import numpy as np
 
 from wav2lip_tpu.audio import load_wav, MelFrontend
 from wav2lip_tpu.config import Config, DEFAULT_CONFIG
-from wav2lip_tpu.data.windows import mel_chunk_starts, slice_mel_chunks, smooth_boxes
+from wav2lip_tpu.data.windows import mel_chunk_starts, smooth_boxes
 from wav2lip_tpu.detect import FaceDetectionPipeline
 from wav2lip_tpu.io.video import (
+    PreallocRawAVIWriter,
     VideoFrameReader,
     extract_audio,
     has_ffmpeg,
@@ -78,7 +79,7 @@ from wav2lip_tpu.utils.transfer import (
 
 IMAGE_EXTS = (".jpg", ".jpeg", ".png")
 
-_QUEUE_DEPTH = 2          # batches in flight per pipeline stage
+_QUEUE_DEPTH = 3          # batches in flight per pipeline stage
 _QUEUE_POLL_S = 0.25      # poll interval so worker errors propagate promptly
 
 
@@ -101,6 +102,8 @@ class FrameCrop:
     frame: Optional[np.ndarray]  # None = static mode (writer reuses a canvas)
     coords: Tuple[int, int, int, int]
     owns_frame: bool
+    index: int = -1       # output frame index (sink slot for in-place writers)
+    in_place: bool = False  # frame IS the sink's frame_view — paste only
 
 
 class _AsyncBoxes:
@@ -237,24 +240,28 @@ class LipSyncPipeline:
 
     # -- device step ---------------------------------------------------------
 
-    def _generate_fn(self, variables, mel_parts, face_parts):
-        """Batch-axis shards of (B, 80, 16) mel windows + (B or 1, 96, 96, 3)
-        uint8 face crops → batch-axis shards of (B, 96, 96, 3) uint8
+    def _generate_fn(self, variables, mel_all, starts, face_parts):
+        """Whole-clip mel + per-frame window starts + batch-axis shards of
+        (B or 1, 96, 96, 3) uint8 face crops → (B, 96, 96, 3) uint8
         generated crops. ``variables`` are a jit argument, not a closure
         constant (see __init__).
 
-        Inputs/outputs are sharded so the host moves them over concurrent
-        copy streams (utils.transfer); reassembly is in-graph. Masking the
-        lower half, the 6-channel concat, /255 normalization (reference
-        inference.py:136-140) and the *255 output conversion all fuse into
-        the generator's XLA program. A leading face dim of 1 with B mel
-        windows broadcasts the (static-mode) face on device so the crop is
-        uploaded exactly once.
+        ``mel_all`` (80, M_padded) is uploaded ONCE per run and the 16-wide
+        per-frame windows (reference inference.py:231-240 slices them on the
+        host per chunk) are gathered IN-GRAPH from ``starts`` — the mel
+        windows overlap 80% (3.2-frame stride, 16-wide), so this removes
+        ~5 KB/frame of redundant upload on a link where bandwidth is the
+        e2e bottleneck. Masking the lower half, the 6-channel concat, /255
+        normalization (inference.py:136-140) and the *255 output conversion
+        all fuse into the generator's XLA program. A leading face dim of 1
+        with B starts broadcasts the (static-mode) face on device so the
+        crop is uploaded exactly once.
         """
-        mels = (mel_parts[0] if len(mel_parts) == 1
-                else jnp.concatenate(mel_parts, axis=0))
         faces_u8 = (face_parts[0] if len(face_parts) == 1
                     else jnp.concatenate(face_parts, axis=0))
+        win = self.cfg.model.mel_step_size
+        idx = starts[:, None] + jnp.arange(win, dtype=starts.dtype)[None, :]
+        mels = jnp.moveaxis(jnp.take(mel_all, idx, axis=1), 1, 0)  # (B,80,16)
         B = mels.shape[0]
         faces = faces_u8.astype(self.dtype) / 255.0
         if faces.shape[0] == 1 and B != 1:
@@ -386,14 +393,37 @@ class LipSyncPipeline:
                 raise ValueError(f"no frames decoded from {face_path}")
             first_frame = head
 
-        # 3. chunk plan: one mel window per output frame
+        # 3. chunk plan: one mel window per output frame. The windows stay
+        # as (start) indices — the whole mel goes to the device once and the
+        # overlapping 16-wide windows are gathered in-graph (_generate_fn)
         starts = mel_chunk_starts(
             mel.shape[1], video_fps, self.cfg.model.mel_step_size, tail=tail
         )
-        mel_chunks = slice_mel_chunks(
-            mel, starts, self.cfg.model.mel_step_size
-        ).astype(np.float32)
         num_out = len(starts)
+        # clip-length bucketing: pad mel columns to a multiple of 512
+        # (~6.4 s of audio) so arbitrary clip lengths hit a handful of
+        # compiled graphs instead of one retrace per length
+        M = mel.shape[1]
+        Mp = ((M + 511) // 512) * 512
+        mel_padded = np.zeros((mel.shape[0], Mp), np.float32)
+        mel_padded[:, :M] = mel
+
+        # 3b. output sink — created up front (frame count and size are now
+        # known) so a preallocated in-place writer can hand its memory-mapped
+        # frame views to the decoder: pixels then land directly in the output
+        # file and the encode/write stages vanish (io.video.PreallocRawAVIWriter)
+        mux = has_ffmpeg()
+        # without ffmpeg the intermediate IS the deliverable: write it at the
+        # final path and skip a whole-file copy
+        tmp_video = os.path.join(temp_dir, "result.avi") if mux else outfile
+        os.makedirs(os.path.dirname(os.path.abspath(tmp_video)), exist_ok=True)
+        writer = make_frame_writer(
+            tmp_video, video_fps, first_frame.shape[:2],
+            codec=icfg.codec, jpeg_quality=icfg.jpeg_quality,
+            n_frames_hint=num_out,
+        )
+        view_of = (writer.frame_view
+                   if isinstance(writer, PreallocRawAVIWriter) else None)
 
         # 4. ingest strategy: stream (decode as needed, free after composite)
         #    when boxes need no random access and the clip is long enough;
@@ -460,13 +490,27 @@ class LipSyncPipeline:
                     )
 
                 source = self._streaming_source(
-                    reader, first_frame, (y1, y2, x1, x2), num_out, _reopen
+                    reader, first_frame, (y1, y2, x1, x2), num_out, _reopen,
+                    view_of=view_of if reader.reads_into_dst else None,
                 )
 
             return self._execute(
-                source, mel_chunks, num_out, static, first_frame.shape[:2],
-                video_fps, wav_path, outfile, temp_dir,
+                source, mel_padded, starts, num_out, static,
+                video_fps, wav_path, outfile, writer, tmp_video, mux,
             )
+        except BaseException:
+            # a failed run must not leave a (possibly multi-GB preallocated)
+            # partial container behind at the output path
+            try:
+                writer.close()
+            except Exception:
+                pass
+            if os.path.exists(tmp_video):
+                try:
+                    os.remove(tmp_video)
+                except OSError:
+                    pass
+            raise
         finally:
             if reader is not None:
                 reader.close()
@@ -484,25 +528,53 @@ class LipSyncPipeline:
             owns = num_out <= n  # every source frame used at most once
             for i in range(num_out):
                 if static:
-                    yield FrameCrop(None, box_of(0), False)
+                    yield FrameCrop(None, box_of(0), False, index=i)
                 else:
                     idx = i % n
-                    yield FrameCrop(frames[idx], box_of(idx), owns)
+                    yield FrameCrop(frames[idx], box_of(idx), owns, index=i)
         return gen()
 
     def _streaming_source(self, reader, first_frame, coords, num_out: int,
-                          reopen=None):
+                          reopen=None, view_of=None):
         """Yield FrameCrops straight off the decoder; each frame is owned by
         its output and freed after compositing.
+
+        ``view_of(i)``: optional in-place sink views (PreallocRawAVIWriter) —
+        frame ``i`` is decoded DIRECTLY into its final location in the output
+        file (the decoder's colorspace conversion is the write), and the
+        FrameCrop is flagged ``in_place`` so the composite stage only pastes
+        the mouth patch.
 
         If the container's frame-count hint overestimated and the stream ends
         early, the decoder is re-opened and decoding wraps to frame 0 —
         the same cyclic reuse (``i % n``, inference.py:121) the materialized
         path gives, at the cost of re-decoding instead of buffering. Output
         length always matches the audio."""
+        in_place = [False]
+
+        def read_next(idx):
+            if view_of is None:
+                in_place[0] = False
+                return reader.read()
+            v = view_of(idx)
+            got = reader.read(dst=v)
+            if (got is not None and not np.shares_memory(got, v)
+                    and got.shape == v.shape):
+                np.copyto(v, got)  # decoder refused the dst; salvage in-place
+                got = v
+            in_place[0] = got is not None and np.shares_memory(got, v)
+            return got
+
         def gen():
             nonlocal reader
             frame = first_frame
+            if view_of is not None and frame is not None:
+                # frame 0 was decoded before the sink existed
+                v = view_of(0)
+                if frame.shape == v.shape:
+                    np.copyto(v, frame)
+                    frame = v
+                    in_place[0] = True
             for i in range(num_out):
                 if frame is None and reopen is not None:
                     warnings.warn(
@@ -513,30 +585,40 @@ class LipSyncPipeline:
                     reader.close()
                     reader = reopen()
                     with self.timings("decode"):
-                        frame = reader.read()
+                        frame = read_next(i)
                 if frame is None:
                     warnings.warn(
                         f"video ended after {i} frames but {num_out} outputs "
                         f"were planned; output truncated"
                     )
                     return
-                yield FrameCrop(frame, coords, True)
+                yield FrameCrop(frame, coords, True, index=i,
+                                in_place=in_place[0])
                 if i + 1 < num_out:
                     with self.timings("decode"):
-                        frame = reader.read()
+                        frame = read_next(i + 1)
         return gen()
 
     # -- pipelined execution -----------------------------------------------------
 
-    def _execute(self, source, mel_chunks, num_out: int, static: bool,
-                 frame_hw, video_fps, wav_path, outfile, temp_dir) -> str:
+    def _execute(self, source, mel_padded, starts, num_out: int, static: bool,
+                 video_fps, wav_path, outfile, writer, tmp_video,
+                 mux: bool) -> str:
         icfg = self.cfg.infer
         size = self.img_size
-        mux = has_ffmpeg()
-        # without ffmpeg the intermediate IS the deliverable: write it at the
-        # final path and skip a whole-file copy
-        tmp_video = os.path.join(temp_dir, "result.avi") if mux else outfile
-        os.makedirs(os.path.dirname(os.path.abspath(tmp_video)), exist_ok=True)
+
+        # whole-clip mel: ONE upload per run; batches carry only the int32
+        # window starts (the 16-wide windows are gathered in-graph)
+        with self.timings("generate"):
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as _P
+
+                mel_dev = jax.device_put(
+                    mel_padded, NamedSharding(self.mesh, _P())
+                )
+            else:
+                mel_dev = jax.device_put(mel_padded)
 
         prep_q: "queue.Queue" = queue.Queue(maxsize=_QUEUE_DEPTH)
         pred_q: "queue.Queue" = queue.Queue(maxsize=_QUEUE_DEPTH)
@@ -564,25 +646,36 @@ class LipSyncPipeline:
                     continue
             return None
 
-        def dispatch_batch(faces, mels):
+        def dispatch_batch(faces, starts_b):
             """Upload one batch and dispatch the generator; returns the
             un-fetched device output (jit dispatch is async)."""
             if self.mesh is not None:
                 # data-parallel path: batch-axis sharded global arrays;
                 # per-device slices move concurrently
-                mel_parts = (put_mesh_batch(mels, self.mesh),)
+                starts_dev = put_mesh_batch(starts_b, self.mesh)
                 if isinstance(faces, np.ndarray):
                     face_parts = (put_mesh_batch(faces, self.mesh),)
                 else:  # static: replicated (1,...) crop
                     face_parts = (faces,)
             else:
                 # concurrent copy streams up, in-graph reassembly
-                mel_parts = tuple(put_sharded(mels, self._streams))
+                starts_dev = jax.device_put(starts_b)
                 if isinstance(faces, np.ndarray):
                     face_parts = tuple(put_sharded(faces, self._streams))
                 else:  # static: already-device (1,...) crop
                     face_parts = (faces,)
-            return self._jit_generate(self.vars, mel_parts, face_parts)
+            out = self._jit_generate(self.vars, mel_dev, starts_dev,
+                                     face_parts)
+            # start the D2H copy NOW (it queues behind the compute): by the
+            # time this batch is popped from the in-flight window the bytes
+            # are host-side and the blocking fetch is a local memcpy instead
+            # of a GIL-holding wait on the link
+            for part in out:
+                try:
+                    part.copy_to_host_async()
+                except AttributeError:
+                    break
+            return out
 
         def fetch_preds(pred_parts) -> np.ndarray:
             if self.mesh is not None:
@@ -590,32 +683,36 @@ class LipSyncPipeline:
             return fetch_concat(pred_parts)
 
         def device_worker():
-            # eager dispatch, two batches in flight: batch k+1 uploads and
-            # computes while batch k's output crosses back to the host, so
-            # the link runs both directions at once and the device never
-            # idles between batches
-            pending = None  # (un-fetched device output, crops)
+            # eager dispatch with a multi-batch in-flight window: jit
+            # dispatch and device_put are async, so batches k+1..k+K upload
+            # and compute while batch k's output crosses back to the host —
+            # the link runs both directions at once, round-trip latency
+            # amortizes over K batches, and the device never idles
+            inflight: "deque" = deque()  # (un-fetched device output, crops)
+            K = max(1, icfg.inflight_batches)
             try:
                 while True:
                     item = _get(prep_q)
                     if item is None:
                         break
-                    faces, mels, crops = item
+                    faces, starts_b, crops = item
                     if not crops:  # sentinel: pass through without running
                         break
                     with self.timings("generate"):
-                        dispatched = (dispatch_batch(faces, mels), crops)
-                        if pending is not None:
-                            preds, pcrops = fetch_preds(pending[0]), pending[1]
-                            pending = None
+                        inflight.append(
+                            (dispatch_batch(faces, starts_b), crops)
+                        )
+                        if len(inflight) >= K:
+                            out, pcrops = inflight.popleft()
+                            preds = fetch_preds(out)
                             if not _put(pred_q, (preds, pcrops)):
                                 return
-                        pending = dispatched
-                if pending is not None:
+                while inflight:
                     with self.timings("generate"):
-                        preds, pcrops = fetch_preds(pending[0]), pending[1]
-                    pending = None
-                    _put(pred_q, (preds, pcrops))
+                        out, pcrops = inflight.popleft()
+                        preds = fetch_preds(out)
+                    if not _put(pred_q, (preds, pcrops)):
+                        return
                 _put(pred_q, (None, []))
             except BaseException as e:  # noqa: BLE001 — repropagated in main
                 errors.append(e)
@@ -625,6 +722,55 @@ class LipSyncPipeline:
                     pass
 
         def writer_worker():
+            try:
+                if isinstance(writer, PreallocRawAVIWriter):
+                    inplace_writer_loop()
+                else:
+                    encoded_writer_loop()
+            except BaseException as e:  # noqa: BLE001 — repropagated in main
+                errors.append(e)
+            finally:
+                try:
+                    writer.close()
+                except BaseException as e:  # noqa: BLE001
+                    if not errors:
+                        errors.append(e)
+
+        def inplace_writer_loop():
+            """Composite straight into the memory-mapped output file. Frames
+            decoded in place (``c.in_place``) need only the mouth paste;
+            materialized/static frames are memcpy'd into their view first.
+            No ordering constraint exists (each frame owns its file slot), no
+            encode exists, and the per-frame work is ≤0.5 ms — so this stays
+            a simple serial loop with no thread pool."""
+            while True:
+                item = _get(pred_q)
+                if item is None:
+                    return
+                preds, crops = item
+                if not crops:
+                    return
+                for j, c in enumerate(crops):
+                    y1, y2, x1, x2 = c.coords
+                    with self.timings("composite"):
+                        if c.in_place:
+                            out = c.frame
+                        else:
+                            out = writer.frame_view(c.index)
+                            np.copyto(
+                                out,
+                                c.frame if c.frame is not None
+                                else self._static_frame,
+                            )
+                        view = out[y1:y2, x1:x2]
+                        res = cv2.resize(preds[j], (x2 - x1, y2 - y1),
+                                         dst=view)
+                        if not np.shares_memory(res, out):
+                            view[:] = res
+                    writer.commit(c.index)
+                    written[0] += 1
+
+        def encoded_writer_loop():
             nonlocal static_canvas
             from concurrent.futures import ThreadPoolExecutor
 
@@ -660,64 +806,59 @@ class LipSyncPipeline:
                 thread_name_prefix="w2l-composite",
             )
             try:
-                writer = make_frame_writer(
-                    tmp_video, video_fps, frame_hw,
-                    codec=icfg.codec, jpeg_quality=icfg.jpeg_quality,
-                )
-                try:
-                    while True:
-                        item = _get(pred_q)
-                        if item is None:
-                            break
-                        preds, crops = item
-                        if not crops:
-                            break
-                        if crops[0].frame is None:  # static: one canvas
-                            for j, c in enumerate(crops):
-                                y1, y2, x1, x2 = c.coords
-                                with self.timings("composite"):
-                                    if static_canvas is None:
-                                        static_canvas = (
-                                            self._static_frame.copy()
-                                        )
-                                    view = static_canvas[y1:y2, x1:x2]
-                                    res = cv2.resize(
-                                        preds[j], (x2 - x1, y2 - y1),
-                                        dst=view,
+                while True:
+                    item = _get(pred_q)
+                    if item is None:
+                        break
+                    preds, crops = item
+                    if not crops:
+                        break
+                    if crops[0].frame is None:  # static: one canvas
+                        for j, c in enumerate(crops):
+                            y1, y2, x1, x2 = c.coords
+                            with self.timings("composite"):
+                                if static_canvas is None:
+                                    static_canvas = (
+                                        self._static_frame.copy()
                                     )
-                                    if not np.shares_memory(res,
-                                                            static_canvas):
-                                        view[:] = res
-                                with self.timings("encode"):
-                                    writer.write(static_canvas)
-                                written[0] += 1
-                            continue
-                        # bounded in-flight window: submitting the whole
-                        # batch would pin up to batch_size completed
-                        # payloads (full frames under codec="raw", ~800 MB
-                        # at 1080p x 128) while the serial writes drain
-                        it = iter(range(len(crops)))
-                        futs: "deque" = deque()
+                                view = static_canvas[y1:y2, x1:x2]
+                                res = cv2.resize(
+                                    preds[j], (x2 - x1, y2 - y1),
+                                    dst=view,
+                                )
+                                if not np.shares_memory(res,
+                                                        static_canvas):
+                                    view[:] = res
+                            with self.timings("encode"):
+                                writer.write(static_canvas)
+                            written[0] += 1
+                        continue
+                    # bounded in-flight window: submitting the whole
+                    # batch would pin up to batch_size completed
+                    # payloads (full frames under codec="raw", ~800 MB
+                    # at 1080p x 128) while the serial writes drain
+                    it = iter(range(len(crops)))
+                    futs: "deque" = deque()
+                    for j in it:
+                        futs.append(pool.submit(
+                            composite_encode_one, writer, preds[j],
+                            crops[j]))
+                        if len(futs) >= 2 * pool_workers:
+                            break
+                    while futs:
+                        done = futs.popleft()
                         for j in it:
                             futs.append(pool.submit(
                                 composite_encode_one, writer, preds[j],
                                 crops[j]))
-                            if len(futs) >= 2 * pool_workers:
-                                break
-                        while futs:
-                            done = futs.popleft()
-                            for j in it:
-                                futs.append(pool.submit(
-                                    composite_encode_one, writer, preds[j],
-                                    crops[j]))
-                                break
-                            with self.timings("write"):
-                                writer.write_encoded(done.result())
-                            written[0] += 1
-                finally:
-                    writer.close()
-            except BaseException as e:  # noqa: BLE001 — repropagated in main
-                errors.append(e)
+                            break
+                        # .result() waits on the pool (composite/encode
+                        # time, already counted); only the container
+                        # append itself is the "write" stage
+                        payload = done.result()
+                        with self.timings("write"):
+                            writer.write_encoded(payload)
+                        written[0] += 1
             finally:
                 pool.shutdown(wait=False, cancel_futures=True)
 
@@ -773,14 +914,12 @@ class LipSyncPipeline:
                         faces_in = static_face_dev
                     else:
                         faces_in = face_batch
-                    mel_batch = np.zeros(
-                        (self.batch_size, mel_chunks.shape[1],
-                         mel_chunks.shape[2]), np.float32,
+                    # padding rows gather window 0; discarded on the host
+                    starts_b = np.zeros(self.batch_size, np.int32)
+                    starts_b[: len(crops)] = (
+                        starts[produced : produced + len(crops)]
                     )
-                    mel_batch[: len(crops)] = (
-                        mel_chunks[produced : produced + len(crops)]
-                    )
-                if not _put(prep_q, (faces_in, mel_batch, crops)):
+                if not _put(prep_q, (faces_in, starts_b, crops)):
                     break
                 produced += len(crops)
                 if stopped_early:

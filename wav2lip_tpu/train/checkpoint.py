@@ -46,11 +46,23 @@ def save_checkpoint(
     return path
 
 
+# single-use stash of the full restore a checkpoint_has_opt_state metadata
+# fallback had to perform, so the load_orbax that follows the probe does not
+# read a potentially multi-GB checkpoint from disk twice
+_probe_restore_cache: Dict[str, Any] = {}
+
+
 def load_orbax(path: str, item=None) -> Dict[str, Any]:
     import orbax.checkpoint as ocp
 
+    key = os.path.abspath(path)
+    # pop unconditionally (no stale multi-GB entries); usable only for the
+    # template-free restore shape the probe itself performed
+    cached = _probe_restore_cache.pop(key, None)
+    if item is None and cached is not None:
+        return cached
     with ocp.PyTreeCheckpointer() as ckptr:
-        return ckptr.restore(os.path.abspath(path), item=item)
+        return ckptr.restore(key, item=item)
 
 
 def checkpoint_has_opt_state(path: str) -> bool:
@@ -78,6 +90,9 @@ def checkpoint_has_opt_state(path: str) -> bool:
         return sub is not None and jax.tree.leaves(sub) != []
     except Exception:
         raw = load_orbax(path)
+        # keep the expensive full restore for the load_orbax call that
+        # almost always follows this probe (trainers._restore)
+        _probe_restore_cache[os.path.abspath(path)] = raw
         return raw.get("opt_state") is not None
 
 
