@@ -66,7 +66,17 @@ def main():
     w = res * 16 // 9
     video = make_video(os.path.join(tmp, "face.mp4"),
                        num_frames=int(seconds * fps), fps=fps, w=w, h=res)
-    wav = make_wav(os.path.join(tmp, "a.wav"), seconds=seconds + 0.5)
+    # audio slightly SHORTER than the clip: output length = mel chunks
+    # (reference truncates frames to the chunk count, inference.py:244), and
+    # with chunks <= container frames the pipeline takes the streaming
+    # decode-into-sink path — the product configuration being measured
+    wav = make_wav(os.path.join(tmp, "a.wav"), seconds=seconds - 0.3)
+    from wav2lip_tpu.data.windows import mel_chunk_starts
+    from wav2lip_tpu.audio import load_wav, MelFrontend
+
+    mel_cols = MelFrontend(DEFAULT_CONFIG.audio).melspectrogram(
+        load_wav(wav, 16000)).shape[1]
+    frames = len(mel_chunk_starts(mel_cols, fps, 16))  # exact output count
 
     # random-init generator: throughput is weight-independent
     model = Wav2LipGenerator()
@@ -103,7 +113,6 @@ def main():
             stages = {k: round(v, 3)
                       for k, v in pipe.timings.as_dict().items()}
 
-    frames = int(seconds * fps)  # ≈ generated frames (chunk-truncated by <4)
     fps_e2e = frames / dt
     realtime_x = fps_e2e / fps
 
@@ -135,7 +144,76 @@ def main():
 
     _leg("mel_frames_per_sec_fused", _mel_bench)
 
+    _leg("mfu", _mfu_leg, result)
+
     print(json.dumps(result))
+
+
+def _flops_of(jitfn, *args, **kw):
+    """Analytic FLOPs of one call via the compiled executable's XLA cost
+    analysis (exact for these fixed-shape CNN graphs; compiles are cached)."""
+    ca = jitfn.lower(*args, **kw).compile().cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca["flops"])
+
+
+_GAN_STEP_FLOPS = [None]  # set by _train_bench, read by _mfu_leg
+
+
+def _mfu_leg(result):
+    """Roofline accounting (BASELINE's 'frames/sec per chip' related to chip
+    peak): analytic conv FLOPs per frame/step × measured rates →
+    achieved TFLOP/s and % of peak per leg, so 'is this leg fast?' is
+    answerable from the artifact. Peak defaults to the v5e bf16 MXU peak
+    (197 TFLOP/s); override with W2L_PEAK_TFLOPS for other chips."""
+    import jax
+    import numpy as np
+
+    from wav2lip_tpu.models import S3FD, Wav2LipGenerator
+
+    peak = float(os.environ.get("W2L_PEAK_TFLOPS", "197"))
+    mfu = {"peak_tflops": peak}
+
+    gen = Wav2LipGenerator()
+    gv = jax.jit(gen.init)(
+        jax.random.key(0), np.zeros((1, 80, 16, 1), np.float32),
+        np.zeros((1, 96, 96, 6), np.float32))
+    gen_fwd = _flops_of(
+        jax.jit(lambda v, a, f: gen.apply(v, a, f)), gv,
+        np.zeros((1, 80, 16, 1), np.float32),
+        np.zeros((1, 96, 96, 6), np.float32))
+    mfu["gen_fwd_gflops_per_frame"] = round(gen_fwd / 1e9, 2)
+    if result.get("value"):
+        ach = result["value"] * gen_fwd / 1e12
+        mfu["e2e_achieved_tflops"] = round(ach, 3)
+        mfu["e2e_pct_peak"] = round(100 * ach / peak, 2)
+
+    if result.get("detect_e2e_fps_720p"):
+        det = S3FD()
+        dv = jax.jit(det.init)(
+            jax.random.key(0), np.zeros((1, 720, 1280, 3), np.float32))
+        det_fwd = _flops_of(
+            jax.jit(lambda v, x: det.apply(v, x)), dv,
+            np.zeros((1, 720, 1280, 3), np.float32))
+        mfu["s3fd_fwd_gflops_per_frame_720p"] = round(det_fwd / 1e9, 2)
+        ach = result["detect_e2e_fps_720p"] * (det_fwd + gen_fwd) / 1e12
+        mfu["detect_e2e_achieved_tflops"] = round(ach, 3)
+        mfu["detect_e2e_pct_peak"] = round(100 * ach / peak, 2)
+
+    sps = result.get("train_steps_per_sec_gan_b16_bf16") or result.get(
+        "train_steps_per_sec_gan_b16")
+    if sps:
+        # exact: summed XLA cost analysis of the two compiled train-step
+        # programs (gen update incl. frozen-SyncNet sync loss + disc
+        # update), captured by _train_bench from the executables it ran
+        step_flops = _GAN_STEP_FLOPS[0]
+        if step_flops:
+            ach = sps * step_flops / 1e12
+            mfu["gan_step_tflops"] = round(step_flops / 1e12, 3)
+            mfu["train_achieved_tflops"] = round(ach, 3)
+            mfu["train_pct_peak"] = round(100 * ach / peak, 2)
+    return mfu
 
 
 def _detect_e2e_bench(tmp, fps, seconds=4.0, res=720):
@@ -254,6 +332,18 @@ def _train_bench(steps=8, batch=16, compute_dtype=None):
     gs, ds, m = train_step(gen_state, disc_state, sync_vars, batch_data,
                            wt, dwt, use_sync=True)
     jax.block_until_ready(m)
+    # record the exact per-step FLOPs for the MFU leg (cache-hit lowers of
+    # the two programs just compiled; g re-derived for the disc signature)
+    try:
+        _, _, g = train_step.gen_step(gen_state, disc_state.params,
+                                      sync_vars, batch_data, wt, dwt,
+                                      use_sync=True)
+        _GAN_STEP_FLOPS[0] = _flops_of(
+            train_step.gen_step, gen_state, disc_state.params, sync_vars,
+            batch_data, wt, dwt, use_sync=True,
+        ) + _flops_of(train_step.disc_step, ds, batch_data["gt"], g)
+    except Exception:
+        pass
     t0 = _t.time()
     for _ in range(steps):
         gs, ds, m = train_step(gs, ds, sync_vars, batch_data, wt, dwt,

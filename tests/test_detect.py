@@ -177,3 +177,90 @@ class TestDetectorMesh:
         with pytest.raises(ValueError, match="must be a multiple"):
             FaceDetectionPipeline({}, DEFAULT_CONFIG.detect, batch_size=6,
                                   mesh=make_mesh(jax.devices()[:4]))
+
+
+class TestDetectDownscale:
+    """Detection-resolution downscale (DetectConfig.downscale): frames are
+    host-resized 1/f before upload and boxes rescaled f after — f^2 fewer
+    trunk FLOPs and f^2 less link traffic for the full-detector path."""
+
+    def _pipe(self, **cfg_kw):
+        import dataclasses
+
+        import jax
+
+        from wav2lip_tpu.config import DEFAULT_CONFIG
+        from wav2lip_tpu.detect import FaceDetectionPipeline
+        from wav2lip_tpu.models import S3FD
+
+        det_vars = jax.jit(S3FD().init)(
+            jax.random.key(0), np.zeros((1, 64, 64, 3), np.float32)
+        )
+        cfg = dataclasses.replace(DEFAULT_CONFIG.detect, **cfg_kw)
+        return FaceDetectionPipeline(det_vars, cfg, batch_size=4)
+
+    def test_auto_factor_selection(self):
+        p = self._pipe(downscale=0, downscale_max_side=640)
+        assert p.downscale_factor(480, 640) == 1   # already small enough
+        assert p.downscale_factor(720, 1280) == 2  # 1280 -> 640
+        assert p.downscale_factor(1080, 1920) == 3  # 1920 -> 640
+        assert p.downscale_factor(2160, 3840) == 6
+        off = self._pipe(downscale=1)
+        assert off.downscale_factor(1080, 1920) == 1
+        fixed = self._pipe(downscale=4)
+        assert fixed.downscale_factor(480, 640) == 4
+
+    def test_frames_downscaled_and_boxes_rescaled(self):
+        """The jitted graph must see 1/f-resolution frames; returned boxes
+        must come back in source-frame coordinates (x f)."""
+        p = self._pipe(downscale=2)
+        seen_shapes = []
+
+        def fake_detect(variables, parts):
+            total = sum(np.asarray(q).shape[0] for q in parts)
+            h, w = np.asarray(parts[0]).shape[1:3]
+            seen_shapes.append((h, w))
+            boxes = np.zeros((total, 16, 4), np.float32)
+            boxes[:, 0] = [4.0, 6.0, 20.0, 30.0]  # downscaled coords
+            scores = np.zeros((total, 16), np.float32)
+            scores[:, 0] = 0.9
+            num = np.ones(total, np.int64)
+            return boxes, scores, num
+
+        p._jit_detect = fake_detect
+        frames = np.zeros((3, 64, 96, 3), np.uint8)
+        dets = p.detect_batch(frames)
+        assert seen_shapes == [(32, 48)]
+        assert len(dets) == 3
+        np.testing.assert_allclose(dets[0][0][:4], (8.0, 12.0, 40.0, 60.0))
+        assert dets[0][0][4] == pytest.approx(0.9)
+
+    def test_downscale_boxes_close_to_fullres(self):
+        """With a smooth synthetic 'detector response', half-res detection
+        plus rescale lands within a couple of pixels of full-res — the
+        box is consumed as a padded, smoothed 96x96 crop window so this
+        drift is invisible downstream (inference.py:59-66,121-154)."""
+        import dataclasses
+
+        full = self._pipe(downscale=1)
+        half = self._pipe(downscale=2)
+
+        def responder(scale):
+            def fake(variables, parts):
+                h, w = np.asarray(parts[0]).shape[1:3]
+                total = sum(np.asarray(q).shape[0] for q in parts)
+                boxes = np.zeros((total, 16, 4), np.float32)
+                # a "face" covering the central half of whatever resolution
+                # the trunk saw, like a real scale-equivariant detector
+                boxes[:, 0] = [w * 0.25, h * 0.25, w * 0.75, h * 0.75]
+                scores = np.zeros((total, 16), np.float32)
+                scores[:, 0] = 0.9
+                return boxes, scores, np.ones(total, np.int64)
+            return fake
+
+        full._jit_detect = responder(1)
+        half._jit_detect = responder(2)
+        frames = np.zeros((2, 128, 192, 3), np.uint8)
+        a = np.asarray(full.first_face_boxes(frames), np.float64)
+        b = np.asarray(half.first_face_boxes(frames), np.float64)
+        assert np.abs(a - b).max() <= 2.0

@@ -96,6 +96,14 @@ def build_parser():
                         "without ffmpeg)")
     s.add_argument("--out_file", default="all_scores.txt")
     s.add_argument("--vshift", type=int, default=15)
+    s.add_argument("--track", action="store_true", default=False,
+                   help="run the protocol's face-track/crop front end "
+                        "(syncnet_python run_pipeline equivalent) before "
+                        "scoring — required for full-scene videos where "
+                        "the face is a small region (ReSyncED). Needs S3FD "
+                        "weights (--s3fd_checkpoint or checkpoints/)")
+    s.add_argument("--s3fd_checkpoint", default=None,
+                   help="S3FD weights for --track")
     return p
 
 
@@ -121,9 +129,10 @@ def cmd_generate(args) -> int:
             compute_dtype="float32",
         ),
         # detection too: bf16 S3FD shifts borderline boxes by ~a pixel,
-        # which changes every crop the scored output is built from
+        # which changes every crop the scored output is built from; full-res
+        # detection (downscale=1) for the same reason
         detect=dataclasses.replace(
-            DEFAULT_CONFIG.detect, compute_dtype="float32"
+            DEFAULT_CONFIG.detect, compute_dtype="float32", downscale=1
         ),
     )
     gen_vars = load_model_variables(args.checkpoint_path, import_generator)
@@ -209,6 +218,29 @@ def cmd_score(args) -> int:
                                          import_syncnet)
         scorer = LSEScorer(sync_vars, vshift=args.vshift)
 
+    detector = None
+    if args.track:
+        import dataclasses
+
+        from wav2lip_tpu.config import DEFAULT_CONFIG
+        from wav2lip_tpu.convert import import_s3fd
+        from wav2lip_tpu.convert.fetch import resolve_s3fd_checkpoint
+        from wav2lip_tpu.detect import FaceDetectionPipeline
+        from wav2lip_tpu.train.checkpoint import load_model_variables
+
+        try:
+            s3fd_path = resolve_s3fd_checkpoint(args.s3fd_checkpoint)
+        except (FileNotFoundError, RuntimeError) as e:
+            print(f"error: --track needs S3FD weights: {e}", file=sys.stderr)
+            return 2
+        detector = FaceDetectionPipeline(
+            load_model_variables(s3fd_path, import_s3fd),
+            # full-res f32: the tracker applies the protocol's own 0.25
+            # detection scale; scored outputs stay reference-faithful
+            dataclasses.replace(DEFAULT_CONFIG.detect,
+                                compute_dtype="float32", downscale=1),
+        )
+
     videos = sorted(
         glob(join(args.videos_dir, "*.mp4")) + glob(join(args.videos_dir, "*.avi"))
     )
@@ -223,7 +255,10 @@ def cmd_score(args) -> int:
                 wav = join(args.audio_root,
                            basename(v).rsplit(".", 1)[0] + ".wav")
             try:
-                r = scorer.score_video(v, wav)
+                if detector is not None:
+                    r = scorer.score_video_tracked(v, detector, wav)
+                else:
+                    r = scorer.score_video(v, wav)
             except Exception:
                 traceback.print_exc()
                 continue
@@ -282,7 +317,7 @@ def cmd_real(args) -> int:
             compute_dtype="float32",  # scored output: match reference path
         ),
         detect=dataclasses.replace(
-            DEFAULT_CONFIG.detect, compute_dtype="float32"
+            DEFAULT_CONFIG.detect, compute_dtype="float32", downscale=1
         ),
     )
     gen_vars = load_model_variables(args.checkpoint_path, import_generator)

@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--s3fd_checkpoint", default=None,
                    help="S3FD detector weights (Orbax dir or torch .pth)")
     p.add_argument("--temp_dir", default="temp")
+    p.add_argument("--detect_downscale", type=int, default=0,
+                   help="run S3FD at 1/f resolution and rescale boxes "
+                        "(f^2 fewer trunk FLOPs/transfers; boxes feed a "
+                        "smoothed 96x96 crop so quality is unaffected). "
+                        "0 = auto (long side <= 640), 1 = full resolution")
     p.add_argument("--trace_dir", default=None,
                    help="capture a jax.profiler device trace here")
     p.add_argument("--data_parallel", action="store_true", default=False,
@@ -87,6 +92,9 @@ def main(argv=None) -> int:
             box=tuple(args.box),
             rotate=args.rotate,
             nosmooth=args.nosmooth,
+        ),
+        detect=dataclasses.replace(
+            cfg.detect, downscale=args.detect_downscale
         ),
     )
 

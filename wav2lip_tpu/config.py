@@ -167,6 +167,16 @@ class DetectConfig:
     # measured); anchor decode and NMS stay float32 regardless. Pixel-exact
     # reference comparisons should set "float32".
     compute_dtype: str = "bfloat16"
+    # detection-resolution downscale: frames are host-resized 1/f before the
+    # trunk and boxes rescaled f after — f^2 fewer trunk FLOPs and f^2 less
+    # upload on the host->device link. 0 = auto (smallest integer f with
+    # max(H, W)/f <= downscale_max_side), 1 = off (reference-exact), k>1 =
+    # fixed factor. Accuracy-neutral for the product path: boxes are padded,
+    # 5-frame smoothed and only consumed as a 96x96 crop window
+    # (inference.py:59-66,121-154), so sub-pixel box shifts vanish; keep 1
+    # for pixel-exact reference comparisons.
+    downscale: int = 0
+    downscale_max_side: int = 640
 
 
 @dataclass(frozen=True)

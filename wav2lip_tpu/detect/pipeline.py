@@ -124,15 +124,40 @@ class FaceDetectionPipeline:
 
     # -- host API -----------------------------------------------------------
 
+    def downscale_factor(self, h: int, w: int) -> int:
+        """Detection-resolution divisor for (h, w) frames per
+        ``cfg.downscale`` (0 = auto: smallest integer factor bringing the
+        long side under ``cfg.downscale_max_side``)."""
+        d = int(getattr(self.cfg, "downscale", 1) or 0)
+        if d >= 1:
+            return d
+        side = max(int(h), int(w))
+        return max(1, -(-side // int(self.cfg.downscale_max_side)))
+
     def detect_batch(
         self, frames_bgr: np.ndarray
     ) -> List[List[Tuple[float, float, float, float, float]]]:
         """(N, H, W, 3) uint8 BGR frames → per-frame [(x1,y1,x2,y2,score)]
-        lists, score-descending (reference detect_from_batch contract)."""
+        lists, score-descending (reference detect_from_batch contract).
+
+        With ``cfg.downscale`` active, frames are resized 1/f on the host
+        BEFORE upload (cv2 INTER_AREA, ~1 ms/frame — f^2 less link traffic
+        and f^2 fewer trunk FLOPs) and the returned boxes are rescaled by f.
+        """
+        import cv2
+
         n = len(frames_bgr)
+        first = np.asarray(frames_bgr[0])
+        f = self.downscale_factor(*first.shape[:2])
         results: List[List[Tuple]] = []
         for i in range(0, n, self.batch_size):
             chunk = np.asarray(frames_bgr[i : i + self.batch_size], np.uint8)
+            if f > 1:
+                dh, dw = chunk.shape[1] // f, chunk.shape[2] // f
+                chunk = np.stack([
+                    cv2.resize(fr, (dw, dh), interpolation=cv2.INTER_AREA)
+                    for fr in chunk
+                ])
             pad = self.batch_size - len(chunk)
             if pad:
                 chunk = np.concatenate(
@@ -144,6 +169,8 @@ class FaceDetectionPipeline:
                 parts = tuple(put_sharded(chunk, self.streams))
             boxes, scores, num = self._jit_detect(self.variables, parts)
             boxes, scores, num = map(np.asarray, (boxes, scores, num))
+            if f > 1:
+                boxes = boxes * float(f)  # back to source-frame coordinates
             for j in range(min(self.batch_size, n - i)):
                 k = int(num[j])
                 results.append(

@@ -166,6 +166,37 @@ class LSEScorer:
         a, v = self._embed_all(faces, mels)
         return self.score_embeddings(a, v)
 
+    def score_video_tracked(self, video_path: str, detector,
+                            wav_path: Optional[str] = None,
+                            track_cfg=None) -> LSEResult:
+        """Full-scene scoring: the S3FD track+crop front end
+        (eval.face_track, rebuilding syncnet_python run_pipeline's stage,
+        calculate_scores_real_videos.sh:6-7) runs before scoring, so a video
+        where the face is a small off-center region scores like its
+        face-cropped version. ``detector`` is a detect.FaceDetectionPipeline
+        (pass downscale=1 — the tracker applies the protocol's own 0.25
+        detection scale)."""
+        from wav2lip_tpu.eval.face_track import (
+            TrackConfig,
+            slice_audio_to_track,
+            track_and_crop,
+        )
+        from wav2lip_tpu.io.video import extract_audio, read_video_frames
+
+        frames, fps = read_video_frames(video_path)
+        wav_path = wav_path or extract_audio(video_path)
+        wav = load_wav(wav_path, self.cfg.audio.sample_rate)
+        crops, track = track_and_crop(
+            frames, detector, track_cfg or TrackConfig()
+        )
+        wav_t = slice_audio_to_track(
+            wav, self.cfg.audio.sample_rate, fps, track
+        )
+        mel_tm = self.mel.melspectrogram(wav_t).T
+        faces, mels = self._windows(np.asarray(crops), mel_tm, fps)
+        a, v = self._embed_all(faces, mels)
+        return self.score_embeddings(a, v)
+
     def score_many(self, pairs: List[Tuple[str, Optional[str]]]):
         """Average scores over (video, wav) pairs — the corpus averaging of
         calculate_scores_LRS.py:43-50."""

@@ -486,6 +486,37 @@ class SyncNetPythonScorer:
             audio = audio[:, 0]
         return self.score_arrays(frames, audio, sr)
 
+    def score_video_tracked(self, video_path: str, detector,
+                            wav_path: Optional[str] = None,
+                            track_cfg=None) -> LSEResult:
+        """Score a FULL-SCENE video through the protocol's face-track/crop
+        front end (eval.face_track — the in-repo rebuild of syncnet_python
+        run_pipeline.py, chained by calculate_scores_real_videos.sh:6-7):
+        S3FD per frame at 0.25 scale, IOU tracking, median-smoothed 0.40-
+        scale square crops to 224², audio sliced to the track span. This is
+        the missing stage that makes ReSyncED-style videos (small off-center
+        faces) score like their pre-cropped versions. ``detector`` is a
+        detect.FaceDetectionPipeline with downscale=1."""
+        from scipy.io import wavfile
+
+        from wav2lip_tpu.eval.face_track import (
+            TrackConfig,
+            slice_audio_to_track,
+            track_and_crop,
+        )
+        from wav2lip_tpu.io.video import extract_audio, read_video_frames
+
+        frames, fps = read_video_frames(video_path)
+        sr, audio = wavfile.read(wav_path or extract_audio(video_path))
+        if audio.ndim > 1:
+            audio = audio[:, 0]
+        crops, track = track_and_crop(
+            frames, detector, track_cfg or TrackConfig()
+        )
+        return self.score_arrays(
+            crops, slice_audio_to_track(audio, sr, fps, track), sr
+        )
+
     def score_many(self, pairs: List[Tuple[str, Optional[str]]]):
         """Corpus averaging (calculate_scores_LRS.py:40-50)."""
         results = [self.score_video(v, w) for v, w in pairs]
