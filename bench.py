@@ -252,23 +252,27 @@ def _detect_e2e_bench(tmp, fps, seconds=4.0, res=720):
     )
     pipe = LipSyncPipeline(gen_vars, detector=detector, config=DEFAULT_CONFIG)
 
-    # random weights yield no faces; substitute the known face box AFTER the
-    # full detector forward so the measured path still pays detection cost
-    m = int(res * 0.2)
-    fixed = np.asarray(
-        [[(w - (res - 2 * m)) // 2, m, (w + (res - 2 * m)) // 2, res - m]],
-        np.float64,
-    )
-    real_raw = pipe._raw_padded_boxes
+    # random weights yield no faces; overwrite the DEVICE outputs with a
+    # stable centered detection AFTER the full jitted forward, so every
+    # host-side stage (ROI tracking, fallbacks, smoothing, crops) runs
+    # realistically while the measured path still pays full detection cost
+    real_jit = detector._jit_detect
 
-    def raw_with_fixed_boxes(frames):
-        try:
-            real_raw(frames)
-        except Exception:
-            pass  # garbage detections; cost already paid
-        return np.repeat(fixed, len(frames), axis=0)
+    def jit_with_synthetic_box(variables, parts, factor=1):
+        b, s, n = real_jit(variables, parts, factor)
+        b, s, n = (np.array(x) for x in (b, s, n))
+        # .shape is metadata — np.asarray here would fetch the whole pixel
+        # batch device->host and poison the link for the measured run
+        fh, fw = parts[0].shape[1:3]
+        fh, fw = fh // factor, fw // factor
+        b[:] = 0.0
+        s[:] = 0.0
+        b[:, 0] = [fw * 0.3, fh * 0.25, fw * 0.7, fh * 0.75]
+        s[:, 0] = 0.99
+        n[:] = 1
+        return b, s, n
 
-    pipe._raw_padded_boxes = raw_with_fixed_boxes
+    detector._jit_detect = jit_with_synthetic_box
 
     pipe.run(video, wav, os.path.join(tmp, "warm720.mp4"), temp_dir=tmp)
     t0 = _t.time()

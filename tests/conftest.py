@@ -68,6 +68,11 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: multi-minute tests (subprocess fan-out, big compiles)"
     )
+    config.addinivalue_line(
+        "markers",
+        "weights: requires real released checkpoints in checkpoints/ "
+        "(tools/fetch_reference_weights.py); skips when absent",
+    )
 
 
 @pytest.fixture(scope="session")

@@ -210,16 +210,28 @@ class TestDetectDownscale:
         fixed = self._pipe(downscale=4)
         assert fixed.downscale_factor(480, 640) == 4
 
-    def test_frames_downscaled_and_boxes_rescaled(self):
-        """The jitted graph must see 1/f-resolution frames; returned boxes
-        must come back in source-frame coordinates (x f)."""
-        p = self._pipe(downscale=2)
-        seen_shapes = []
+    def test_in_graph_decimation_and_box_rescale(self):
+        """The jitted graph receives FULL-resolution frames plus the static
+        factor (decimation runs on device, not the host) and must mean-pool
+        to 1/f before the trunk; returned boxes come back in source-frame
+        coordinates (x f)."""
+        import jax.numpy as jnp
 
-        def fake_detect(variables, parts):
-            total = sum(np.asarray(q).shape[0] for q in parts)
-            h, w = np.asarray(parts[0]).shape[1:3]
-            seen_shapes.append((h, w))
+        p = self._pipe(downscale=2)
+        seen = []
+        real_fn = p._detect_fn
+
+        def spy_detect(variables, parts, factor):
+            # what resolution does the trunk see? re-run the decimation
+            # prefix of the real graph to find out
+            x = jnp.concatenate([jnp.asarray(q) for q in parts], axis=0)
+            b, h, w, c = x.shape
+            hh, ww = (h // factor) * factor, (w // factor) * factor
+            pooled = x[:, :hh, :ww].astype(np.float32).reshape(
+                b, hh // factor, factor, ww // factor, factor, c
+            ).mean(axis=(2, 4))
+            seen.append((factor, (h, w), pooled.shape[1:3]))
+            total = b
             boxes = np.zeros((total, 16, 4), np.float32)
             boxes[:, 0] = [4.0, 6.0, 20.0, 30.0]  # downscaled coords
             scores = np.zeros((total, 16), np.float32)
@@ -227,13 +239,31 @@ class TestDetectDownscale:
             num = np.ones(total, np.int64)
             return boxes, scores, num
 
-        p._jit_detect = fake_detect
+        p._jit_detect = spy_detect
         frames = np.zeros((3, 64, 96, 3), np.uint8)
         dets = p.detect_batch(frames)
-        assert seen_shapes == [(32, 48)]
+        assert seen == [(2, (64, 96), (32, 48))]
         assert len(dets) == 3
         np.testing.assert_allclose(dets[0][0][:4], (8.0, 12.0, 40.0, 60.0))
         assert dets[0][0][4] == pytest.approx(0.9)
+        del real_fn
+
+    def test_device_decimation_matches_inter_area(self):
+        """The in-graph f x f mean pool is numerically cv2 INTER_AREA for
+        integer factors (the protocol-faithful downscale), up to uint8
+        rounding."""
+        import cv2
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (1, 64, 96, 3), np.uint8)
+        f = 2
+        x = jnp.asarray(img).astype(jnp.float32)
+        pooled = np.asarray(
+            x.reshape(1, 32, f, 48, f, 3).mean(axis=(2, 4))
+        )[0]
+        area = cv2.resize(img[0], (48, 32), interpolation=cv2.INTER_AREA)
+        assert np.abs(pooled - area.astype(np.float32)).max() <= 0.5 + 1e-4
 
     def test_downscale_boxes_close_to_fullres(self):
         """With a smooth synthetic 'detector response', half-res detection
@@ -246,8 +276,9 @@ class TestDetectDownscale:
         half = self._pipe(downscale=2)
 
         def responder(scale):
-            def fake(variables, parts):
+            def fake(variables, parts, factor):
                 h, w = np.asarray(parts[0]).shape[1:3]
+                h, w = h // factor, w // factor  # trunk-visible resolution
                 total = sum(np.asarray(q).shape[0] for q in parts)
                 boxes = np.zeros((total, 16, 4), np.float32)
                 # a "face" covering the central half of whatever resolution
@@ -264,3 +295,136 @@ class TestDetectDownscale:
         a = np.asarray(full.first_face_boxes(frames), np.float64)
         b = np.asarray(half.first_face_boxes(frames), np.float64)
         assert np.abs(a - b).max() <= 2.0
+
+
+def _pixel_detector(variables, parts, factor=1):
+    """Stub _jit_detect that finds the bright (>150) square in the actual
+    pixel content — behaves like a real detector for full frames AND ROI
+    crops, so the ROI-tracked path can be tested end to end."""
+    x = np.concatenate([np.asarray(q) for q in parts], axis=0)
+    if factor > 1:
+        x = x[:, ::factor, ::factor]
+    total = x.shape[0]
+    boxes = np.zeros((total, 16, 4), np.float32)
+    scores = np.zeros((total, 16), np.float32)
+    num = np.zeros(total, np.int64)
+    for i in range(total):
+        ys, xs = np.where(x[i].max(axis=-1) > 150)
+        if len(ys) < 4:
+            continue
+        boxes[i, 0] = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+        scores[i, 0] = 0.9
+        num[i] = 1
+    return boxes, scores, num
+
+
+class TestRoiTracking:
+    """ROI-tracked first_face_boxes (DetectConfig.roi_track): keyframe
+    full-frame detection, then small-crop tracking with full-frame fallback
+    — the small-upload mode that keeps detection fast when the host-device
+    link degrades under bidirectional traffic."""
+
+    def _pipe(self, **cfg_kw):
+        import dataclasses
+
+        import jax
+
+        from wav2lip_tpu.config import DEFAULT_CONFIG
+        from wav2lip_tpu.detect import FaceDetectionPipeline
+        from wav2lip_tpu.models import S3FD
+
+        det_vars = jax.jit(S3FD().init)(
+            jax.random.key(0), np.zeros((1, 64, 64, 3), np.float32)
+        )
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG.detect, roi_track=True, downscale=1, **cfg_kw)
+        p = FaceDetectionPipeline({}, cfg, batch_size=8)
+        p.variables = det_vars  # unused by the stub
+        p._jit_detect = _pixel_detector
+        return p
+
+    @staticmethod
+    def _moving_face_frames(n=30, h=240, w=320, size=60):
+        frames = np.zeros((n, h, w, 3), np.uint8)
+        truth = []
+        for t in range(n):
+            x = 40 + 2 * t  # drifts right 2 px/frame
+            y = 60 + t
+            frames[t, y : y + size, x : x + size] = 200
+            truth.append((x, y, x + size, y + size))
+        return frames, truth
+
+    def test_roi_matches_fullframe(self):
+        from wav2lip_tpu.detect import RoiTracker
+
+        frames, truth = self._moving_face_frames()
+        p = self._pipe()
+        tracked = p.first_face_boxes(frames, tracker=RoiTracker())
+        full = p.first_face_boxes(frames)
+        assert None not in tracked
+        t = np.asarray(tracked, np.float64)
+        f = np.asarray(full, np.float64)
+        # sub-pixel-to-low-single-digit drift from the ROI resize roundtrip
+        assert np.abs(t - f).max() <= 3.0
+        assert np.abs(t - np.asarray(truth, np.float64)).max() <= 3.0
+
+    def test_roi_uses_small_crops_after_keyframe(self):
+        from wav2lip_tpu.detect import RoiTracker
+
+        frames, _ = self._moving_face_frames(n=20)
+        p = self._pipe(roi_out=96)
+        seen = []
+        inner = p._jit_detect
+
+        def spy(variables, parts, factor=1):
+            seen.append(np.asarray(parts[0]).shape[1:3])
+            return inner(variables, parts, factor)
+
+        p._jit_detect = spy
+        p.first_face_boxes(frames, tracker=RoiTracker())
+        assert seen[0] == (240, 320)        # keyframe: full frame
+        assert all(s == (96, 96) for s in seen[1:])  # tracked: tiny crops
+
+    def test_teleport_triggers_fullframe_fallback(self):
+        from wav2lip_tpu.detect import RoiTracker
+
+        h, w, size = 240, 320, 50
+        frames = np.zeros((12, h, w, 3), np.uint8)
+        for t in range(12):
+            if t < 6:
+                x, y = 30, 40
+            else:
+                x, y = 240, 170  # far outside any ROI around (30, 40)
+            frames[t, y : y + size, x : x + size] = 200
+        p = self._pipe()
+        out = p.first_face_boxes(frames, tracker=RoiTracker())
+        assert None not in out
+        assert out[5][:2] == (30, 40)
+        assert abs(out[6][0] - 240) <= 2 and abs(out[6][1] - 170) <= 2
+
+    def test_faceless_frame_reports_none(self):
+        from wav2lip_tpu.detect import RoiTracker
+
+        frames, _ = self._moving_face_frames(n=8)
+        frames[4:] = 0  # face disappears entirely
+        p = self._pipe()
+        out = p.first_face_boxes(frames, tracker=RoiTracker())
+        assert None not in out[:4]
+        assert out[4] is None
+
+    def test_periodic_keyframe_refresh(self):
+        from wav2lip_tpu.detect import RoiTracker
+
+        frames, _ = self._moving_face_frames(n=20)
+        p = self._pipe(roi_refresh_every=5)
+        seen = []
+        inner = p._jit_detect
+
+        def spy(variables, parts, factor=1):
+            seen.append(np.asarray(parts[0]).shape[1:3])
+            return inner(variables, parts, factor)
+
+        p._jit_detect = spy
+        p.first_face_boxes(frames, tracker=RoiTracker())
+        fulls = sum(1 for s in seen if s == (240, 320))
+        assert fulls == 4  # frames 0, 6, 12, 18 — re-anchor every 5 tracked

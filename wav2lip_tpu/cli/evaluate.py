@@ -132,7 +132,8 @@ def cmd_generate(args) -> int:
         # which changes every crop the scored output is built from; full-res
         # detection (downscale=1) for the same reason
         detect=dataclasses.replace(
-            DEFAULT_CONFIG.detect, compute_dtype="float32", downscale=1
+            DEFAULT_CONFIG.detect, compute_dtype="float32", downscale=1,
+            roi_track=False
         ),
     )
     gen_vars = load_model_variables(args.checkpoint_path, import_generator)
@@ -238,7 +239,8 @@ def cmd_score(args) -> int:
             # full-res f32: the tracker applies the protocol's own 0.25
             # detection scale; scored outputs stay reference-faithful
             dataclasses.replace(DEFAULT_CONFIG.detect,
-                                compute_dtype="float32", downscale=1),
+                                compute_dtype="float32", downscale=1,
+            roi_track=False),
         )
 
     videos = sorted(
@@ -317,7 +319,8 @@ def cmd_real(args) -> int:
             compute_dtype="float32",  # scored output: match reference path
         ),
         detect=dataclasses.replace(
-            DEFAULT_CONFIG.detect, compute_dtype="float32", downscale=1
+            DEFAULT_CONFIG.detect, compute_dtype="float32", downscale=1,
+            roi_track=False
         ),
     )
     gen_vars = load_model_variables(args.checkpoint_path, import_generator)

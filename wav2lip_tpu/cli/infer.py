@@ -59,6 +59,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(f^2 fewer trunk FLOPs/transfers; boxes feed a "
                         "smoothed 96x96 crop so quality is unaffected). "
                         "0 = auto (long side <= 640), 1 = full resolution")
+    p.add_argument("--detect_roi", type=int, default=1, choices=(0, 1),
+                   help="ROI-tracked detection: after a keyframe, detect on "
+                        "a small crop around the last face box (tiny "
+                        "host->device transfers; full-frame keyframe every "
+                        "120 frames + automatic full-frame fallback when "
+                        "the ROI loses the face). 0 = full-frame detection "
+                        "for every frame (reference-exact)")
     p.add_argument("--trace_dir", default=None,
                    help="capture a jax.profiler device trace here")
     p.add_argument("--data_parallel", action="store_true", default=False,
@@ -94,7 +101,8 @@ def main(argv=None) -> int:
             nosmooth=args.nosmooth,
         ),
         detect=dataclasses.replace(
-            cfg.detect, downscale=args.detect_downscale
+            cfg.detect, downscale=args.detect_downscale,
+            roi_track=bool(args.detect_roi),
         ),
     )
 

@@ -128,7 +128,8 @@ def main(argv=None) -> int:
     # bfloat16, which shifts boxes ~±1 px — fine for inference, not for
     # regenerating training data)
     det_cfg = dataclasses.replace(
-        DEFAULT_CONFIG.detect, compute_dtype=args.detect_dtype, downscale=1
+        DEFAULT_CONFIG.detect, compute_dtype=args.detect_dtype, downscale=1,
+        roi_track=False
     )
     detector = FaceDetectionPipeline(
         det_vars, det_cfg, batch_size=args.batch_size,

@@ -177,6 +177,33 @@ class DetectConfig:
     # for pixel-exact reference comparisons.
     downscale: int = 0
     downscale_max_side: int = 640
+    # ROI-tracked detection (product inference path): after a full-frame
+    # keyframe detection, subsequent frames run S3FD on a small square crop
+    # around the last box (side = roi_scale x face size, resized to
+    # roi_out^2 on the host) instead of the full frame — per-frame
+    # host->device traffic drops from megabytes to ~110 KB, which is what
+    # keeps detection fast on hosts where the device link degrades to tens
+    # of MB/s under bidirectional traffic (measured on the axon tunnel: one
+    # device->host fetch permanently drops upload bandwidth 1.4 GB/s ->
+    # ~30 MB/s, so full-frame per-frame uploads are unshippable). A
+    # full-frame detection re-runs every roi_refresh_every frames and
+    # whenever the ROI loses the face, so multi-face "first face" semantics
+    # re-anchor periodically. False = reference-exact full-frame detection
+    # for every frame (eval + preprocess pin this).
+    roi_track: bool = True
+    roi_out: int = 192
+    roi_scale: float = 2.2
+    roi_refresh_every: int = 120
+    # frames per dispatched ROI sub-chunk. Tracked detection is speculative:
+    # ONE window (from the last fetched box) covers the whole span to the
+    # next keyframe, sub-chunks of roi_batch crops dispatch back-to-back
+    # with no fetch between them, and results fetch in a second phase — the
+    # span costs ~one link round trip total, which is the budget that
+    # matters on a high-RTT device link (upload->compute->fetch cycles cost
+    # hundreds of ms there once the link carries bidirectional traffic). A
+    # face that outruns the stale window lands in the per-frame full-frame
+    # fallback.
+    roi_batch: int = 128
 
 
 @dataclass(frozen=True)

@@ -1,3 +1,3 @@
-from wav2lip_tpu.detect.pipeline import FaceDetectionPipeline
+from wav2lip_tpu.detect.pipeline import FaceDetectionPipeline, RoiTracker
 
-__all__ = ["FaceDetectionPipeline"]
+__all__ = ["FaceDetectionPipeline", "RoiTracker"]

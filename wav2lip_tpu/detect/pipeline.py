@@ -28,11 +28,27 @@ import numpy as np
 
 from wav2lip_tpu.config import DetectConfig
 from wav2lip_tpu.models.s3fd import S3FD
+
 from wav2lip_tpu.ops.anchors import decode_all_scales
 from wav2lip_tpu.ops.nms import batched_nms
 from wav2lip_tpu.utils.cache import enable_compile_cache
-from wav2lip_tpu.utils.dtypes import cast_floats
+from wav2lip_tpu.utils.dtypes import cast_floats_fused
 from wav2lip_tpu.utils.transfer import put_mesh_batch, put_sharded, put_tree
+
+
+class RoiTracker:
+    """Mutable per-video state for ROI-tracked detection
+    (:meth:`FaceDetectionPipeline.first_face_boxes_tracked`).
+
+    ``last_box`` is the most recent (x1, y1, x2, y2) detection in source
+    coordinates; ``since_refresh`` counts frames since the last full-frame
+    keyframe detection. One tracker per video — callers create a fresh one
+    per clip so state never leaks across inputs.
+    """
+
+    def __init__(self):
+        self.last_box: Optional[Tuple[float, float, float, float]] = None
+        self.since_refresh = 0
 
 
 class FaceDetectionPipeline:
@@ -78,25 +94,37 @@ class FaceDetectionPipeline:
         self.streams = max(1, transfer_streams)
         self.model = S3FD()
         if self.dtype != jnp.float32:
-            variables = cast_floats(variables, self.dtype)
+            variables = cast_floats_fused(variables, self.dtype)
         # weights up ONCE as a fused transfer, passed to the jitted detect as
         # an argument — closure constants would be fetched leaf-by-leaf at
         # lowering time and baked into every cached executable
         self.variables = put_tree(variables, mesh=self.mesh)
-        self._jit_detect = jax.jit(self._detect_fn)
+        self._jit_detect = jax.jit(self._detect_fn, static_argnums=2)
 
-    def _detect_fn(self, variables, image_parts):
+    def _detect_fn(self, variables, image_parts, factor=1):
         """Batch-axis shards of (B, H, W, 3) uint8 BGR →
-        (boxes (B,K,4), scores (B,K), num (B,)).
+        (boxes (B,K,4), scores (B,K), num (B,)) at 1/``factor`` coordinates.
 
         Frames ship to the device as uint8 (4x less tunnel/PCIe traffic than
         the float32 the reference moves) over concurrent copy streams
-        (utils.transfer); the reassembly, BGR→RGB flip, mean subtraction and
-        float cast run in-graph (detect.py:59 semantics)."""
+        (utils.transfer); the reassembly, BGR→RGB flip, detection-resolution
+        decimation, mean subtraction and float cast all run in-graph
+        (detect.py:59 semantics). Decimation on device rather than the host:
+        a ``factor``×``factor`` mean pool is numerically cv2 INTER_AREA for
+        integer factors, and the host-side per-frame cv2.resize it replaces
+        was 25 ms/frame of host time on a 1-core box — slower than shipping
+        the full-res uint8 frames over the link (~1 GB/s measured) and
+        pooling at HBM bandwidth."""
         cfg = self.cfg
         images_bgr = (image_parts[0] if len(image_parts) == 1
                       else jnp.concatenate(image_parts, axis=0))
         x = images_bgr[..., ::-1].astype(self.dtype)  # BGR → RGB (api.py:65)
+        if factor > 1:
+            b, h, w, c = x.shape
+            hh, ww = (h // factor) * factor, (w // factor) * factor
+            x = x[:, :hh, :ww].reshape(
+                b, hh // factor, factor, ww // factor, factor, c
+            ).mean(axis=(2, 4))
         mean = jnp.asarray(cfg.mean_bgr, self.dtype)
         x = x - mean
 
@@ -140,24 +168,16 @@ class FaceDetectionPipeline:
         """(N, H, W, 3) uint8 BGR frames → per-frame [(x1,y1,x2,y2,score)]
         lists, score-descending (reference detect_from_batch contract).
 
-        With ``cfg.downscale`` active, frames are resized 1/f on the host
-        BEFORE upload (cv2 INTER_AREA, ~1 ms/frame — f^2 less link traffic
-        and f^2 fewer trunk FLOPs) and the returned boxes are rescaled by f.
+        With ``cfg.downscale`` active, the jitted graph mean-pools frames
+        1/f before the trunk (f^2 fewer trunk FLOPs) and the returned boxes
+        are rescaled by f here.
         """
-        import cv2
-
         n = len(frames_bgr)
         first = np.asarray(frames_bgr[0])
         f = self.downscale_factor(*first.shape[:2])
         results: List[List[Tuple]] = []
         for i in range(0, n, self.batch_size):
             chunk = np.asarray(frames_bgr[i : i + self.batch_size], np.uint8)
-            if f > 1:
-                dh, dw = chunk.shape[1] // f, chunk.shape[2] // f
-                chunk = np.stack([
-                    cv2.resize(fr, (dw, dh), interpolation=cv2.INTER_AREA)
-                    for fr in chunk
-                ])
             pad = self.batch_size - len(chunk)
             if pad:
                 chunk = np.concatenate(
@@ -167,7 +187,7 @@ class FaceDetectionPipeline:
                 parts = (put_mesh_batch(chunk, self.mesh),)
             else:
                 parts = tuple(put_sharded(chunk, self.streams))
-            boxes, scores, num = self._jit_detect(self.variables, parts)
+            boxes, scores, num = self._jit_detect(self.variables, parts, f)
             boxes, scores, num = map(np.asarray, (boxes, scores, num))
             if f > 1:
                 boxes = boxes * float(f)  # back to source-frame coordinates
@@ -179,10 +199,17 @@ class FaceDetectionPipeline:
         return results
 
     def first_face_boxes(
-        self, frames_bgr: np.ndarray
+        self, frames_bgr, tracker: Optional[RoiTracker] = None
     ) -> List[Optional[Tuple[int, int, int, int]]]:
         """Per-frame first-face int bbox or None — the reference
-        ``get_detections_for_batch`` contract (api.py:64-78)."""
+        ``get_detections_for_batch`` contract (api.py:64-78).
+
+        With ``cfg.roi_track`` and a ``tracker``, detection runs in ROI
+        mode (:meth:`first_face_boxes_tracked`); without a tracker the
+        reference-exact full-frame path runs for every frame."""
+        if (tracker is not None
+                and getattr(self.cfg, "roi_track", False)):
+            return self.first_face_boxes_tracked(frames_bgr, tracker)
         out: List[Optional[Tuple[int, int, int, int]]] = []
         for dets in self.detect_batch(frames_bgr):
             if not dets:
@@ -191,4 +218,171 @@ class FaceDetectionPipeline:
             d = np.clip(np.asarray(dets[0][:4]), 0, None)
             x1, y1, x2, y2 = map(int, d)
             out.append((x1, y1, x2, y2))
+        return out
+
+    # -- ROI-tracked mode ---------------------------------------------------
+
+    def _roi_window(self, box, h: int, w: int) -> Tuple[int, int, int]:
+        """Square ROI (x0, y0, side) around ``box``, clamped in-frame."""
+        x1, y1, x2, y2 = box
+        size = max(x2 - x1, y2 - y1)
+        side = int(min(max(self.cfg.roi_out, self.cfg.roi_scale * size),
+                       min(h, w)))
+        cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+        x0 = int(round(min(max(cx - side / 2.0, 0), w - side)))
+        y0 = int(round(min(max(cy - side / 2.0, 0), h - side)))
+        return x0, y0, side
+
+    def _detect_crops(self, crops: np.ndarray) -> List[Optional[np.ndarray]]:
+        """Highest-score box per crop (crop coordinates; None = no face) in
+        ONE padded jitted call + ONE fetch, regardless of len(crops).
+
+        Separate from :meth:`detect_batch` (which sub-batches to
+        ``batch_size``, costing one upload->compute->fetch round trip per
+        sub-batch): on a high-latency device link the round trip dominates
+        the actual transfer for these ~110 KB crops, so tracked detection
+        amortizes it over up to ``cfg.roi_batch`` frames. Pad sizes are
+        bucketed to powers-of-two multiples of ``batch_size`` so XLA sees a
+        handful of shapes, not one per chunk length."""
+        return self._fetch_crop_boxes(self._dispatch_crops(crops),
+                                      len(crops))
+
+    def _dispatch_crops(self, crops: np.ndarray):
+        """Upload + dispatch the detector on padded crops; returns the
+        UN-fetched device (boxes, scores, num) — both upload and jit
+        dispatch are async, so back-to-back calls pipeline on the link."""
+        n = len(crops)
+        bucket = self.batch_size
+        while bucket < n:
+            bucket *= 2
+        pad = bucket - n
+        chunk = np.asarray(crops, np.uint8)
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad,) + chunk.shape[1:], np.uint8)]
+            )
+        if self.mesh is not None:
+            parts = (put_mesh_batch(chunk, self.mesh),)
+        else:
+            parts = tuple(put_sharded(chunk, self.streams))
+        out = self._jit_detect(self.variables, parts, 1)
+        for part in out:
+            try:
+                part.copy_to_host_async()
+            except AttributeError:
+                break
+        return out
+
+    def _fetch_crop_boxes(self, handles, n: int):
+        boxes, scores, num = map(np.asarray, handles)
+        return [
+            boxes[i, 0] if num[i] > 0 else None for i in range(n)
+        ]
+
+    def _detect_fullframe_one(self, frame: np.ndarray):
+        """Full-frame first-face box for ONE frame through a dedicated
+        (1, H, W, 3) graph — keyframes/fallbacks would otherwise pad to
+        ``batch_size`` and upload batch_size x the frame bytes for a single
+        result."""
+        frame = np.ascontiguousarray(frame, np.uint8)
+        f = self.downscale_factor(*frame.shape[:2])
+        parts = tuple(put_sharded(frame[None], 1))
+        boxes, scores, num = self._jit_detect(self.variables, parts, f)
+        boxes, num = np.asarray(boxes), np.asarray(num)
+        if int(num[0]) < 1:
+            return None
+        return boxes[0, 0] * float(f)
+
+    def first_face_boxes_tracked(
+        self, frames_bgr, tracker: RoiTracker
+    ) -> List[Optional[Tuple[int, int, int, int]]]:
+        """ROI-tracked first-face detection.
+
+        Frame 0 of a fresh tracker (and every ``roi_refresh_every`` frames)
+        is detected FULL-frame through the standard (downscaled) graph; in
+        between, each batch of frames is cropped to a square ROI around the
+        track's last box, host-resized to ``roi_out``² (sub-millisecond —
+        the region is small), and detected in one fixed-shape jitted call.
+        A frame whose ROI yields no face falls back to full-frame detection
+        of that frame; only a full-frame miss reports None (same contract
+        as the untracked path). Box drift vs full-frame detection is
+        sub-pixel-to-low-single-digit px, consumed by pads + 5-frame
+        smoothing + the 96² crop resize (inference.py:59-66,121-154)."""
+        import cv2
+
+        n = len(frames_bgr)
+        out: List[Optional[Tuple[int, int, int, int]]] = [None] * n
+        refresh = max(1, int(self.cfg.roi_refresh_every))
+        roi_out = int(self.cfg.roi_out)
+        roi_batch = int(getattr(self.cfg, "roi_batch", 256))
+        i = 0
+        while i < n:
+            frame = np.asarray(frames_bgr[i])
+            h, w = frame.shape[:2]
+            if (tracker.last_box is None
+                    or tracker.since_refresh >= refresh):
+                # keyframe: full-frame detection of this single frame
+                kb = self._detect_fullframe_one(frame)
+                if kb is None:
+                    out[i] = None
+                    tracker.last_box = None
+                    tracker.since_refresh = 0
+                    i += 1
+                    continue
+                box = np.clip(kb, 0, None)
+                out[i] = tuple(int(v) for v in box)
+                tracker.last_box = tuple(float(v) for v in box)
+                tracker.since_refresh = 0
+                i += 1
+                continue
+            # speculative span: ONE window (from the last fetched box)
+            # covers every frame to the next keyframe; sub-chunks dispatch
+            # back-to-back WITHOUT waiting on each other and fetch in a
+            # second phase, so the whole span costs ~one round trip of
+            # latency instead of one per chunk — on a high-RTT device link
+            # the round trip, not the compute, is the detection budget.
+            # Staleness is safe: the window is 2.2x the face and a face
+            # that outruns it within a span lands in the per-frame
+            # full-frame fallback below.
+            j = min(n, i + (refresh - tracker.since_refresh))
+            x0, y0, side = self._roi_window(tracker.last_box, h, w)
+            scale = side / float(roi_out)
+            pending = []  # (k0, k1, un-fetched device outs)
+            for k0 in range(i, j, roi_batch):
+                k1 = min(j, k0 + roi_batch)
+                crops = np.stack([
+                    cv2.resize(
+                        np.asarray(frames_bgr[k])[y0 : y0 + side,
+                                                  x0 : x0 + side],
+                        (roi_out, roi_out),
+                        interpolation=cv2.INTER_AREA,
+                    )
+                    for k in range(k0, k1)
+                ])
+                pending.append(
+                    (k0, k1, self._dispatch_crops(crops))
+                )
+            for k0, k1, handles in pending:
+                roi_boxes = self._fetch_crop_boxes(handles, k1 - k0)
+                for k, rb in zip(range(k0, k1), roi_boxes):
+                    if rb is None:
+                        # lost in ROI — full-frame fallback for this frame
+                        fb = self._detect_fullframe_one(
+                            np.asarray(frames_bgr[k]))
+                        if fb is None:
+                            out[k] = None
+                            tracker.last_box = None
+                            tracker.since_refresh = 0
+                            continue
+                        rb_full = np.clip(fb, 0, None)
+                    else:
+                        rb_full = np.clip(
+                            np.asarray(rb) * scale
+                            + np.asarray([x0, y0, x0, y0], np.float64),
+                            0, None,
+                        )
+                    out[k] = tuple(int(v) for v in rb_full)
+                    tracker.last_box = tuple(float(v) for v in rb_full)
+                    tracker.since_refresh += 1
+            i = j
         return out

@@ -66,7 +66,7 @@ from wav2lip_tpu.io.video import (
 )
 from wav2lip_tpu.models import Wav2LipGenerator
 from wav2lip_tpu.utils.cache import enable_compile_cache
-from wav2lip_tpu.utils.dtypes import cast_floats
+from wav2lip_tpu.utils.dtypes import cast_floats_fused
 from wav2lip_tpu.utils.profiling import StageTimer
 from wav2lip_tpu.utils.transfer import (
     fetch_concat,
@@ -136,6 +136,14 @@ class _AsyncBoxes:
         self.ready = 0
         self.error: Optional[BaseException] = None
         self.cond = threading.Condition()
+        # one ROI tracker per video (no state leak across runs); None when
+        # ROI-tracked detection is disabled in DetectConfig
+        from wav2lip_tpu.detect import RoiTracker
+
+        self.tracker = (
+            RoiTracker()
+            if getattr(pipeline.cfg.detect, "roi_track", False) else None
+        )
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 
@@ -152,7 +160,8 @@ class _AsyncBoxes:
             for s in range(0, self.n, self.chunk):
                 with self.pipe.timings("detect"):
                     got = self.pipe._raw_padded_boxes(
-                        self.frames[s : s + self.chunk]
+                        self.frames[s : s + self.chunk],
+                        tracker=self.tracker,
                     )
                 self.raw.extend(got)
                 if self.nosmooth:
@@ -228,7 +237,7 @@ class LipSyncPipeline:
         if self.dtype == jnp.float32:
             self.vars = generator_vars
         else:
-            self.vars = cast_floats(generator_vars, self.dtype)
+            self.vars = cast_floats_fused(generator_vars, self.dtype)
         # weights go up ONCE as a fused transfer and are passed to the jitted
         # step as an ARGUMENT. Closing over them would embed them as program
         # constants: lowering then fetches every device-resident leaf back to
@@ -279,12 +288,20 @@ class LipSyncPipeline:
 
     # -- face localization ----------------------------------------------------
 
-    def _raw_padded_boxes(self, frames: Sequence[np.ndarray]) -> np.ndarray:
+    def _raw_padded_boxes(self, frames: Sequence[np.ndarray],
+                          tracker=None) -> np.ndarray:
         """Detector + pads + face-not-found dump for a chunk of frames
         (reference inference.py:68-99); returns (N, 4) float (x1,y1,x2,y2)
-        UN-smoothed boxes."""
+        UN-smoothed boxes. ``tracker`` (detect.RoiTracker) enables the
+        small-upload ROI-tracked detection mode across chunks.
+
+        ``frames`` goes down as the sequence it is (possibly a list of
+        mmap'd sink views): the detector batches/crops per sub-chunk itself,
+        and stacking a whole 64-frame 720p chunk here would cost an extra
+        ~180 MB host copy per chunk on the tracked path, which touches only
+        small ROIs of a few frames."""
         icfg = self.cfg.infer
-        raw = self.detector.first_face_boxes(np.asarray(frames))
+        raw = self.detector.first_face_boxes(frames, tracker=tracker)
         pady1, pady2, padx1, padx2 = icfg.pads
         results = []
         for rect, image in zip(raw, frames):
@@ -442,14 +459,52 @@ class LipSyncPipeline:
         try:
             if needs_random_access:
                 frames = [first_frame]
+                # materialize INTO the preallocated output file when the
+                # header promises no cyclic reuse: each frame decodes into
+                # its own mmap'd payload slot, detection/prep read from the
+                # views, and composite is paste-only (``in_place``) — the
+                # detector path then skips one full-frame copy per output,
+                # same as the streaming/box path. Falls back to plain RAM
+                # buffering when the stream ends short of the plan (cyclic
+                # reuse would re-read composited slots).
+                frames_in_file = (
+                    view_of is not None and reader is not None
+                    and not static and reader.reads_into_dst
+                    and hinted_count >= num_out
+                    and first_frame.shape == view_of(0).shape
+                )
                 # static mode only ever touches frame 0 — skip the rest of
                 # the decode (the reference decodes everything regardless,
                 # inference.py:190-213)
                 if reader is not None and not static:
                     with self.timings("decode"):
-                        frames.extend(reader)
+                        if frames_in_file:
+                            v0 = view_of(0)
+                            np.copyto(v0, first_frame)
+                            frames[0] = v0
+                            while len(frames) < num_out:
+                                v = view_of(len(frames))
+                                got = reader.read(dst=v)
+                                if got is None:
+                                    break
+                                if not np.shares_memory(got, v):
+                                    if got.shape != v.shape:
+                                        raise ValueError(
+                                            f"frame {len(frames)} shape "
+                                            f"{got.shape} != {v.shape}"
+                                        )
+                                    np.copyto(v, got)
+                                    got = v
+                                frames.append(got)
+                            if len(frames) < num_out:
+                                # short stream → frames will cycle; views
+                                # alias output slots, so fall back to RAM
+                                frames = [np.array(f) for f in frames]
+                                frames_in_file = False
+                        else:
+                            frames.extend(reader)
                 est_gb = len(frames) * first_frame.nbytes / 1e9
-                if est_gb > icfg.max_buffer_gb:
+                if not frames_in_file and est_gb > icfg.max_buffer_gb:
                     warnings.warn(
                         f"buffering {est_gb:.1f} GB of frames (needs random "
                         f"access: detection/static/cycling); raise "
@@ -476,8 +531,10 @@ class LipSyncPipeline:
                     box_of = (lambda i: boxes[0]) if static else (
                         lambda i: boxes[i]
                     )
-                source = self._materialized_source(frames, box_of, static,
-                                                   num_out)
+                source = self._materialized_source(
+                    frames, box_of, static, num_out,
+                    in_place=frames_in_file,
+                )
             else:
                 y1, y2, x1, x2 = icfg.box
 
@@ -518,11 +575,14 @@ class LipSyncPipeline:
     # -- frame sources ----------------------------------------------------------
 
     def _materialized_source(self, frames, box_of, static: bool,
-                             num_out: int):
-        """Yield FrameCrops from an in-RAM frame list (cyclic reuse
+                             num_out: int, in_place: bool = False):
+        """Yield FrameCrops from a materialized frame list (cyclic reuse
         ``i % len(frames)``, inference.py:121). ``box_of(idx)`` supplies the
         face box — possibly blocking on the async detector. In static mode
-        the writer composites onto one canvas, so no frame is attached."""
+        the writer composites onto one canvas, so no frame is attached.
+        ``in_place``: the frames ARE the output file's mmap'd payload slots
+        (one per output, no cycling — see run()'s ``frames_in_file``), so
+        composite needs only the mouth paste."""
         def gen():
             n = len(frames)
             owns = num_out <= n  # every source frame used at most once
@@ -531,7 +591,8 @@ class LipSyncPipeline:
                     yield FrameCrop(None, box_of(0), False, index=i)
                 else:
                     idx = i % n
-                    yield FrameCrop(frames[idx], box_of(idx), owns, index=i)
+                    yield FrameCrop(frames[idx], box_of(idx), owns, index=i,
+                                    in_place=in_place)
         return gen()
 
     def _streaming_source(self, reader, first_frame, coords, num_out: int,
