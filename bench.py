@@ -142,6 +142,17 @@ def main():
         _leg("train_steps_per_sec_gan_b16", _train_bench)
         _leg("train_steps_per_sec_gan_b16_bf16", _train_bench, 8, 16, "bfloat16")
 
+    # multi-chip scaling legs (SURVEY §2 parallelism): measured the day >1
+    # device is visible — the zero-collective data-parallel generator and the
+    # fused single-collective GAN step over an all-device mesh. Skipped (not
+    # errored) on this one-chip box so the primary metric line is unaffected.
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        _leg(f"e2e_fps_{res}p_{n_dev}chip", _e2e_mesh_bench,
+             tmp, video, wav, frames, variables, cfg)
+        _leg(f"train_steps_per_sec_gan_b16_{n_dev}chip",
+             _train_bench_mesh)
+
     _leg("mel_frames_per_sec_fused", _mel_bench)
 
     _leg("mfu", _mfu_leg, result)
@@ -275,13 +286,45 @@ def _detect_e2e_bench(tmp, fps, seconds=4.0, res=720):
     detector._jit_detect = jit_with_synthetic_box
 
     pipe.run(video, wav, os.path.join(tmp, "warm720.mp4"), temp_dir=tmp)
-    t0 = _t.time()
-    pipe.run(video, wav, os.path.join(tmp, "out720.mp4"), temp_dir=tmp)
-    dt = _t.time() - t0
+    # best of 3 like the primary leg: the tunneled device link's round-trip
+    # latency swings multiples run-to-run (measured 15-59 f/s on the same
+    # build); peak is the capability number, stalls are link weather
+    dt = float("inf")
+    for _ in range(3):
+        t0 = _t.time()
+        pipe.run(video, wav, os.path.join(tmp, "out720.mp4"), temp_dir=tmp)
+        dt = min(dt, _t.time() - t0)
     return round(int(seconds * fps) / dt, 2)
 
 
-def _train_bench(steps=8, batch=16, compute_dtype=None):
+def _e2e_mesh_bench(tmp, video, wav, frames, variables, cfg):
+    """Primary e2e leg re-run over an all-device data-parallel mesh
+    (the --data_parallel CLI path): generator batches shard over the
+    ``data`` axis with zero collectives, output frames bit-identical to
+    single-chip. Reported as f/s for direct comparison with the primary
+    metric."""
+    import time as _t
+
+    from wav2lip_tpu.infer import LipSyncPipeline
+    from wav2lip_tpu.parallel.mesh import make_mesh
+
+    pipe = LipSyncPipeline(variables, detector=None, config=cfg,
+                           mesh=make_mesh())
+    out = os.path.join(tmp, "out_mesh.mp4")
+    pipe.run(video, wav, out, temp_dir=tmp)  # warm/compile
+    t0 = _t.time()
+    pipe.run(video, wav, out, temp_dir=tmp)
+    return round(frames / (_t.time() - t0), 2)
+
+
+def _train_bench_mesh(steps=8, batch=16):
+    """GAN step over the explicit shard_map mesh path (states replicated,
+    batch sharded on ``data``, ONE fused gradient collective per update —
+    train/steps.py mesh flavour)."""
+    return _train_bench(steps, batch, None, use_mesh=True)
+
+
+def _train_bench(steps=8, batch=16, compute_dtype=None, use_mesh=False):
     """Training throughput (BASELINE configs 3-5 have no recorded perf
     number): full GAN train step — generator update incl. frozen-expert
     sync loss, then discriminator update (hq_wav2lip_train.py:221-256) — at
@@ -315,21 +358,33 @@ def _train_bench(steps=8, batch=16, compute_dtype=None):
 
     import jax.numpy as jnp
 
+    mesh = None
+    if use_mesh:
+        from wav2lip_tpu.parallel.mesh import make_mesh, shard_batch
+        from wav2lip_tpu.utils.transfer import put_tree
+
+        mesh = make_mesh()
+        gen_state = put_tree(gen_state, mesh=mesh)
+        disc_state = put_tree(disc_state, mesh=mesh)
+        sync_vars = put_tree(sync_vars, mesh=mesh)
+
     train_step, _ = make_gan_steps(
-        gen_tx, disc_tx,
+        gen_tx, disc_tx, mesh=mesh,
         compute_dtype=jnp.dtype(compute_dtype) if compute_dtype else None,
     )
     rng = np.random.default_rng(0)
     # batch uploaded ONCE: this leg measures step compute (the input
     # pipeline overlaps uploads in real training and the link here is a
     # high-latency tunnel that would otherwise dominate the number)
-    batch_data = jax.device_put({
+    host_batch = {
         "x": rng.random((batch, T, S, S, 6), np.float32),
         "indiv_mels": rng.standard_normal(
             (batch, T, 80, 16, 1)).astype(np.float32),
         "mel": rng.standard_normal((batch, 80, 16)).astype(np.float32),
         "gt": rng.random((batch, T, S, S, 3), np.float32),
-    })
+    }
+    batch_data = (shard_batch(mesh, host_batch) if use_mesh
+                  else jax.device_put(host_batch))
     wt, dwt = np.float32(0.03), np.float32(0.07)
 
     # warmup/compile
@@ -337,8 +392,11 @@ def _train_bench(steps=8, batch=16, compute_dtype=None):
                            wt, dwt, use_sync=True)
     jax.block_until_ready(m)
     # record the exact per-step FLOPs for the MFU leg (cache-hit lowers of
-    # the two programs just compiled; g re-derived for the disc signature)
+    # the two programs just compiled; g re-derived for the disc signature);
+    # mesh runs must not overwrite the per-chip number
     try:
+        if use_mesh:
+            raise LookupError("mfu recorded on the single-chip leg only")
         _, _, g = train_step.gen_step(gen_state, disc_state.params,
                                       sync_vars, batch_data, wt, dwt,
                                       use_sync=True)
@@ -403,9 +461,11 @@ def _detect_bench(tmp, detect_res, fps, n_frames=48):
     det = FaceDetectionPipeline(det_vars, DEFAULT_CONFIG.detect,
                                 batch_size=16)
     det.first_face_boxes(frames[:16])  # compile (excluded)
-    t0 = _t.time()
-    det.first_face_boxes(frames)
-    dt = _t.time() - t0
+    dt = float("inf")
+    for _ in range(3):  # best of 3 — link RTT weather (see _detect_e2e_bench)
+        t0 = _t.time()
+        det.first_face_boxes(frames)
+        dt = min(dt, _t.time() - t0)
     return round(n_frames / dt, 2)
 
 
