@@ -392,18 +392,18 @@ def _train_bench(steps=8, batch=16, compute_dtype=None, use_mesh=False):
                            wt, dwt, use_sync=True)
     jax.block_until_ready(m)
     # record the exact per-step FLOPs for the MFU leg (cache-hit lowers of
-    # the two programs just compiled; g re-derived for the disc signature);
-    # mesh runs must not overwrite the per-chip number
+    # the two programs just compiled); mesh runs must not overwrite the
+    # per-chip number. Lowering needs live (un-donated) states — gs/ds —
+    # and only the SHAPE of the generated batch (same as gt), so nothing
+    # executes here and no state is consumed
     try:
         if use_mesh:
             raise LookupError("mfu recorded on the single-chip leg only")
-        _, _, g = train_step.gen_step(gen_state, disc_state.params,
-                                      sync_vars, batch_data, wt, dwt,
-                                      use_sync=True)
+        g_spec = jax.ShapeDtypeStruct(host_batch["gt"].shape, np.float32)
         _GAN_STEP_FLOPS[0] = _flops_of(
-            train_step.gen_step, gen_state, disc_state.params, sync_vars,
+            train_step.gen_step, gs, ds.params, sync_vars,
             batch_data, wt, dwt, use_sync=True,
-        ) + _flops_of(train_step.disc_step, ds, batch_data["gt"], g)
+        ) + _flops_of(train_step.disc_step, ds, batch_data["gt"], g_spec)
     except Exception:
         pass
     t0 = _t.time()

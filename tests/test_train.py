@@ -93,10 +93,14 @@ class TestSyncNetStep:
         state = TrainState.create(sync_vars, tx)
         batch = shard_batch(mesh2, sync_batch)
 
+        # train steps DONATE their input state (buffers are dead after the
+        # call) — snapshot the pre-step leaves host-side for the comparison
+        params0 = jax.tree.map(np.asarray, state.params)
+        stats0 = jax.tree.map(np.asarray, state.batch_stats)
         state2, m = train_step(state, *batch)
         assert np.isfinite(float(m["loss"]))
-        assert tree_l2_diff(state.params, state2.params) > 0
-        assert tree_l2_diff(state.batch_stats, state2.batch_stats) > 0
+        assert tree_l2_diff(params0, state2.params) > 0
+        assert tree_l2_diff(stats0, state2.batch_stats) > 0
         assert int(state2.step) == 1
 
         em = eval_step(state2, *batch)
@@ -211,13 +215,16 @@ class TestGANStep:
         ds = TrainState.create(dvars, disc_tx)
         batch = shard_batch(mesh2, w2l_batch)
 
+        # states are donated into the step — snapshot params before
+        gp0 = jax.tree.map(np.asarray, gs.params)
+        dp0 = jax.tree.map(np.asarray, ds.params)
         gs2, ds2, m = train_step(gs, ds, sync_vars, batch,
                                  np.float32(0.03), np.float32(0.07),
                                  use_sync=True)
         for k in ("gen_loss", "l1", "sync", "percep", "disc_real", "disc_fake"):
             assert np.isfinite(float(m[k])), k
-        assert tree_l2_diff(gs.params, gs2.params) > 0
-        assert tree_l2_diff(ds.params, ds2.params) > 0
+        assert tree_l2_diff(gp0, gs2.params) > 0
+        assert tree_l2_diff(dp0, ds2.params) > 0
 
         em = eval_step(gs2, ds2, sync_vars, batch)
         assert np.isfinite(float(em["percep"]))

@@ -658,6 +658,57 @@ class LipSyncPipeline:
                 if i + 1 < num_out:
                     with self.timings("decode"):
                         frame = read_next(i + 1)
+
+        # decode runs in its own producer thread: on multi-core hosts the
+        # container decode fully overlaps prep/generate/composite (it was
+        # the single largest stage of the primary bench once encode/write
+        # vanished), and cv2's decoder releases the GIL so even one core
+        # gets partial overlap. In-place sinks decode straight into the
+        # output file, so a deep lookahead costs no RAM; the buffered path
+        # holds `depth` full frames, so it stays shallow.
+        return self._threaded_source(gen(),
+                                     depth=64 if view_of is not None else 8)
+
+    def _threaded_source(self, inner, depth: int):
+        """Run a frame-source generator in a producer thread behind a
+        bounded queue. Exceptions cross to the consumer; a sentinel marks
+        exhaustion. The consumer (prep loop) blocks at most on one frame."""
+        q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        end = object()
+        stop = [False]  # consumer gone — unblock and retire the producer
+
+        def put(item) -> bool:
+            while not stop[0]:
+                try:
+                    q.put(item, timeout=_QUEUE_POLL_S)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def run():
+            try:
+                for item in inner:
+                    if not put(item):
+                        return
+                put(end)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                put(e)
+
+        threading.Thread(target=run, daemon=True,
+                         name="w2l-decode").start()
+
+        def gen():
+            try:
+                while True:
+                    item = q.get()
+                    if item is end:
+                        return
+                    if isinstance(item, BaseException):
+                        raise item
+                    yield item
+            finally:
+                stop[0] = True  # runs on exhaustion AND on early close
         return gen()
 
     # -- pipelined execution -----------------------------------------------------

@@ -98,16 +98,27 @@ def _fused_pmean(*trees):
 
 
 def _wrap(mesh, body: Callable, in_specs, out_specs,
-          static_argnames: Tuple[str, ...] = ()):
+          static_argnames: Tuple[str, ...] = (),
+          donate_argnums: Tuple[int, ...] = ()):
     """jit(body) when mesh is None, else jit(shard_map(body)).
 
     ``body`` must accept a ``reduce`` kwarg — ``_fused_pmean`` on the mesh
     path (local grads/stats/metrics, one collective), identity otherwise
     (XLA SPMD reduces from the input shardings).
+
+    ``donate_argnums``: with ``donate=True`` on a step builder, the train
+    step donates its consumed TrainState (the caller rebinds ``state =
+    step(state, ...)``) so XLA writes the updated params/opt_state into the
+    input buffers instead of allocating a second full copy — lower HBM
+    high-water. OPT-IN because donation invalidates the passed-in state AND
+    any aliases of its leaves (e.g. the ``variables`` tree the state was
+    created from — ``TrainState.create`` does not copy); the trainers own
+    their states and enable it.
     """
     if mesh is None:
         fn = functools.partial(body, reduce=_identity_reduce)
-        return jax.jit(fn, static_argnames=static_argnames)
+        return jax.jit(fn, static_argnames=static_argnames,
+                       donate_argnums=donate_argnums)
 
     # check_vma=False: with the check on, JAX's replication tracking makes
     # the autodiff transpose of every replicated parameter insert its own
@@ -123,14 +134,15 @@ def _wrap(mesh, body: Callable, in_specs, out_specs,
                 check_vma=False,
             )(*args)
         stepped.__name__ = body.__name__
-        return jax.jit(stepped, static_argnames=static_argnames)
+        return jax.jit(stepped, static_argnames=static_argnames,
+                       donate_argnums=donate_argnums)
 
     inner = functools.partial(body, reduce=_fused_pmean)
     inner.__name__ = body.__name__
     return jax.jit(jax.shard_map(
         inner, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
-    ))
+    ), donate_argnums=donate_argnums)
 
 
 def _apply_train(model, params, batch_stats, *args, compute_dtype=None):
@@ -196,7 +208,8 @@ def _sync_loss(sync_model, sync_vars, mel, g, compute_dtype=None):
 
 
 def make_syncnet_steps(tx: optax.GradientTransformation, mesh=None,
-                       compute_dtype=None, remat: bool = False):
+                       compute_dtype=None, remat: bool = False,
+                       donate: bool = False):
     model = SyncNet()
     forward = _forward(model, compute_dtype, remat)
 
@@ -228,7 +241,8 @@ def make_syncnet_steps(tx: optax.GradientTransformation, mesh=None,
         return reduce({"loss": cosine_bce_loss(a, v, y)})
 
     data3 = (_REP, _BATCH, _BATCH, _BATCH)
-    train_step = _wrap(mesh, train_body, data3, (_REP, _REP))
+    train_step = _wrap(mesh, train_body, data3, (_REP, _REP),
+                       donate_argnums=(0,) if donate else ())
     eval_step = _wrap(mesh, eval_body, data3, _REP)
     return train_step, eval_step
 
@@ -239,7 +253,8 @@ def make_syncnet_steps(tx: optax.GradientTransformation, mesh=None,
 
 
 def make_wav2lip_steps(tx: optax.GradientTransformation, mesh=None,
-                       compute_dtype=None, remat: bool = False):
+                       compute_dtype=None, remat: bool = False,
+                       donate: bool = False):
     gen = Wav2LipGenerator()
     sync = SyncNet()
     gen_forward = _forward(gen, compute_dtype, remat)
@@ -282,7 +297,8 @@ def make_wav2lip_steps(tx: optax.GradientTransformation, mesh=None,
 
     train_step = _wrap(mesh, train_body, (_REP, _REP, _BATCH, _REP),
                        (_REP, _REP, _BATCH),
-                       static_argnames=("use_sync",))
+                       static_argnames=("use_sync",),
+                       donate_argnums=(0,) if donate else ())
     eval_step = _wrap(mesh, eval_body, (_REP, _REP, _BATCH), _REP)
     return train_step, eval_step
 
@@ -294,7 +310,8 @@ def make_wav2lip_steps(tx: optax.GradientTransformation, mesh=None,
 
 def make_gan_steps(gen_tx: optax.GradientTransformation,
                    disc_tx: optax.GradientTransformation, mesh=None,
-                   compute_dtype=None, remat: bool = False):
+                   compute_dtype=None, remat: bool = False,
+                   donate: bool = False):
     """The generator update and the discriminator update are two separately
     jitted programs chained by a host-side wrapper: the reference also runs
     them as two sequential optimizer steps (hq_wav2lip_train.py:221-256), the
@@ -379,8 +396,10 @@ def make_gan_steps(gen_tx: optax.GradientTransformation,
     gen_step = _wrap(mesh, gen_body,
                      (_REP, _REP, _REP, _BATCH, _REP, _REP),
                      (_REP, _REP, _BATCH),
-                     static_argnames=("use_sync",))
-    disc_step = _wrap(mesh, disc_body, (_REP, _BATCH, _BATCH), (_REP, _REP))
+                     static_argnames=("use_sync",),
+                     donate_argnums=(0,) if donate else ())
+    disc_step = _wrap(mesh, disc_body, (_REP, _BATCH, _BATCH), (_REP, _REP),
+                      donate_argnums=(0,) if donate else ())
 
     def train_step(gen_state: TrainState, disc_state: TrainState, sync_vars,
                    batch, syncnet_wt, disc_wt, use_sync: bool):

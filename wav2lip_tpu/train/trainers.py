@@ -173,6 +173,9 @@ class SyncNetTrainer(_BaseTrainer):
         self.train_step, self.eval_step = make_syncnet_steps(
             self.tx, mesh=self.mesh, compute_dtype=self._compute_dtype(tcfg),
             remat=getattr(tcfg, "remat", False),
+            # the trainer owns self.state and always rebinds it, so the
+            # consumed state's buffers can be donated to the update
+            donate=True,
         )
         model = SyncNet()
         variables = jax.jit(model.init)(
@@ -293,6 +296,7 @@ class Wav2LipTrainer(_BaseTrainer):
                 self.tx, self.disc_tx, mesh=self.mesh,
                 compute_dtype=self._compute_dtype(tcfg),
                 remat=getattr(tcfg, "remat", False),
+                donate=True,  # trainer rebinds both states every step
             )
             self.wt_after_trigger = 0.03  # hq_wav2lip_train.py:290
         else:
@@ -300,6 +304,7 @@ class Wav2LipTrainer(_BaseTrainer):
                 self.tx, mesh=self.mesh,
                 compute_dtype=self._compute_dtype(tcfg),
                 remat=getattr(tcfg, "remat", False),
+                donate=True,  # trainer rebinds self.state every step
             )
             self.wt_after_trigger = tcfg.syncnet_wt_after_trigger  # 0.01
 
