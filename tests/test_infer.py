@@ -278,3 +278,117 @@ class TestInferCLI:
             "--audio", wav,
         ])
         assert rc != 0
+
+
+class TestDetectorInference:
+    """Detector-mode pipe.run (BASELINE config 2 shape): frames decode
+    asynchronously into the preallocated sink, ROI-tracked detection runs in
+    its own thread, composite is paste-only, and a lying container header
+    triggers the buffered restart instead of cycling over composited slots.
+
+    The detector's jitted graph is stubbed with a host-side bright-pixel
+    finder (the synthetic fixture face is a bright disc): the subject here
+    is the pipeline plumbing, not S3FD (tests/test_detect.py owns that).
+    """
+
+    def _detector(self):
+        from wav2lip_tpu.detect import FaceDetectionPipeline
+
+        det = FaceDetectionPipeline(
+            {"params": {"w": np.zeros((1,), np.float32)}}, batch_size=8
+        )
+
+        def pixel_detect(variables, parts, factor=1):
+            x = np.concatenate([np.asarray(q) for q in parts], axis=0)
+            if factor > 1:
+                x = x[:, ::factor, ::factor]
+            total = x.shape[0]
+            boxes = np.zeros((total, 16, 4), np.float32)
+            scores = np.zeros((total, 16), np.float32)
+            num = np.zeros(total, np.int64)
+            for i in range(total):
+                ys, xs = np.where(x[i].max(axis=-1) > 150)
+                if len(ys) < 4:
+                    continue
+                boxes[i, 0] = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+                scores[i, 0] = 0.9
+                num[i] = 1
+            return boxes, scores, num
+
+        det._jit_detect = pixel_detect
+        return det
+
+    @staticmethod
+    def _shm_dir(tmp_path):
+        """An output dir on a RAM-backed fs when available: that is where
+        make_frame_writer picks the preallocated in-place sink, which is the
+        decode-into-views/async-decode path under test. Plain tmp_path
+        still covers the buffered fallback on hosts without /dev/shm."""
+        import tempfile
+
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+            return tempfile.mkdtemp(prefix="w2l_test_", dir="/dev/shm")
+        return str(tmp_path / "shm")
+
+    def test_detector_mode_end_to_end(self, gen_vars, media, tmp_path):
+        video, wav = media
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG,
+            infer=dataclasses.replace(DEFAULT_CONFIG.infer,
+                                      wav2lip_batch_size=16),
+        )
+        pipe = LipSyncPipeline(gen_vars, detector=self._detector(),
+                               config=cfg)
+        outdir = self._shm_dir(tmp_path)
+        out = os.path.join(outdir, "det_out.mp4")
+        pipe.run(video, wav, out, temp_dir=outdir)
+        frames = read_all_frames(out)
+        # 1.0 s audio < 1.2 s video: output length == mel chunk count < 30
+        assert 20 <= len(frames) < 30
+        assert frames[0].shape == (128, 128, 3)
+        # the face region was composited (generator output differs from the
+        # source disc) while corners stay source pixels up to codec loss
+        src = read_all_frames(video)
+        corner = np.abs(frames[3][:8, :8].astype(int)
+                        - src[3][:8, :8].astype(int))
+        assert corner.max() <= 6
+        assert np.abs(frames[3].astype(int) - src[3].astype(int)).max() > 16
+
+    def test_short_header_restarts_buffered(self, gen_vars, tmp_path,
+                                            monkeypatch):
+        import wav2lip_tpu.infer.pipeline as P
+
+        video = make_video(str(tmp_path / "v.mp4"), num_frames=20,
+                           fps=25.0, w=128, h=128)
+        wav = make_wav(str(tmp_path / "a.wav"), seconds=1.2)
+
+        class LyingReader(P.VideoFrameReader):
+            """Reports far more frames than the stream holds — the async
+            decode-into-sink plan must detect this and re-run buffered."""
+
+            def __init__(self, *a, **k):
+                super().__init__(*a, **k)
+                self.approx_frame_count += 40
+
+        monkeypatch.setattr(P, "VideoFrameReader", LyingReader)
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG,
+            infer=dataclasses.replace(DEFAULT_CONFIG.infer,
+                                      wav2lip_batch_size=16),
+        )
+        pipe = LipSyncPipeline(gen_vars, detector=self._detector(),
+                               config=cfg)
+        outdir = self._shm_dir(tmp_path)
+        out = os.path.join(outdir, "o.mp4")
+        from wav2lip_tpu.io.video import ram_backed_bytes_free
+
+        expect_restart = ram_backed_bytes_free(out) > (1 << 24)
+        if expect_restart:
+            with pytest.warns(UserWarning, match="re-running buffered"):
+                pipe.run(video, wav, out, temp_dir=outdir)
+        else:  # no RAM-backed sink → buffered from the start, no restart
+            pipe.run(video, wav, out, temp_dir=outdir)
+        frames = read_all_frames(out)
+        # 1.2 s audio > 0.8 s video: output cycles the 20 source frames up
+        # to the mel chunk count
+        assert len(frames) > 20

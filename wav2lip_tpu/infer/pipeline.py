@@ -106,6 +106,93 @@ class FrameCrop:
     in_place: bool = False  # frame IS the sink's frame_view — paste only
 
 
+class _ShortStreamRestart(Exception):
+    """The container's frame-count hint overestimated while frames were
+    being decoded straight into the output sink with consumers already
+    running — cyclic frame reuse would re-read composited slots, so the run
+    restarts in plain buffered mode (run() catches this)."""
+
+
+class _AsyncDecode:
+    """Decode frames into the preallocated sink's mmap views in a producer
+    thread, so detection (and everything behind it) starts on the first
+    chunk while the container is still decoding — in detector mode the
+    decode was previously a fully serial prefix of the run.
+
+    ``frames`` is the live, growing list shared with the consumers; entries
+    are views into the output file (composite is paste-only). Consumers
+    gate on :meth:`wait_upto`, never on ``len(frames)``.
+    """
+
+    def __init__(self, pipeline: "LipSyncPipeline", reader, first_frame,
+                 view_of, num_out: int):
+        self.pipe = pipeline
+        self.reader = reader
+        self.view_of = view_of
+        self.num_out = num_out
+        self.frames: List[np.ndarray] = []
+        self.short = False
+        self.done = False
+        self.error: Optional[BaseException] = None
+        self.cond = threading.Condition()
+        self.first_frame = first_frame
+        self.thread = threading.Thread(target=self._run, daemon=True,
+                                       name="w2l-decode-views")
+        self.thread.start()
+
+    def _publish(self, frame) -> None:
+        with self.cond:
+            self.frames.append(frame)
+            self.cond.notify_all()
+
+    def _finish(self, short: bool, error=None) -> None:
+        with self.cond:
+            self.short = short
+            self.error = error
+            self.done = True
+            self.cond.notify_all()
+
+    def _run(self) -> None:
+        try:
+            v0 = self.view_of(0)
+            np.copyto(v0, self.first_frame)
+            self._publish(v0)
+            while len(self.frames) < self.num_out:
+                v = self.view_of(len(self.frames))
+                with self.pipe.timings("decode"):
+                    got = self.reader.read(dst=v)
+                if got is None:
+                    self._finish(short=True)
+                    return
+                if not np.shares_memory(got, v):
+                    if got.shape != v.shape:
+                        raise ValueError(
+                            f"frame {len(self.frames)} shape {got.shape} "
+                            f"!= {v.shape}"
+                        )
+                    np.copyto(v, got)
+                    got = v
+                self._publish(got)
+            self._finish(short=False)
+        except BaseException as e:  # noqa: BLE001 — re-raised in wait_upto
+            self._finish(short=False, error=e)
+
+    def wait_upto(self, n: int) -> None:
+        """Block until ``min(n, num_out)`` frames are decoded. Raises the
+        decoder's error, or :class:`_ShortStreamRestart` when the stream
+        ended before ``n`` frames (header hint lied)."""
+        n = min(n, self.num_out)
+        with self.cond:
+            while len(self.frames) < n and not self.done:
+                self.cond.wait(_QUEUE_POLL_S)
+            if self.error is not None:
+                raise self.error
+            if len(self.frames) < n:  # done early
+                raise _ShortStreamRestart(
+                    f"decoded {len(self.frames)} < planned {n}"
+                )
+
+
 class _AsyncBoxes:
     """Face boxes computed in a background thread, published incrementally,
     so detection overlaps generation instead of serializing ahead of it
@@ -119,13 +206,19 @@ class _AsyncBoxes:
     entries, partially over already-smoothed values — is computed by the
     full ``smooth_boxes`` pass once detection finishes and matches it
     exactly on the prefix too.
+
+    ``n``/``wait_upto``: when frames are still being decoded (by
+    :class:`_AsyncDecode`), the frame list is live — ``n`` is the planned
+    total and each chunk waits for its frames before detecting.
     """
 
     def __init__(self, pipeline: "LipSyncPipeline",
-                 frames: Sequence[np.ndarray], chunk: int = 64):
+                 frames: Sequence[np.ndarray], chunk: int = 64,
+                 n: Optional[int] = None, wait_upto=None):
         self.pipe = pipeline
         self.frames = frames
-        self.n = len(frames)
+        self.n = len(frames) if n is None else n
+        self.wait_upto = wait_upto
         self.chunk = chunk
         self.T = pipeline.cfg.infer.smooth_window
         self.nosmooth = pipeline.cfg.infer.nosmooth
@@ -158,9 +251,12 @@ class _AsyncBoxes:
     def _run(self) -> None:
         try:
             for s in range(0, self.n, self.chunk):
+                hi = min(self.n, s + self.chunk)
+                if self.wait_upto is not None:
+                    self.wait_upto(hi)  # frames s..hi-1 decoded
                 with self.pipe.timings("detect"):
                     got = self.pipe._raw_padded_boxes(
-                        self.frames[s : s + self.chunk],
+                        self.frames[s:hi],
                         tracker=self.tracker,
                     )
                 self.raw.extend(got)
@@ -354,6 +450,7 @@ class LipSyncPipeline:
         temp_dir: str = "temp",
         tail: str = "right_align",
         skip_if_short: bool = False,
+        _force_buffered: bool = False,
     ) -> str:
         """Lip-sync ``face_path`` to ``audio_path`` into ``outfile``.
 
@@ -472,11 +569,26 @@ class LipSyncPipeline:
                     and not static and reader.reads_into_dst
                     and hinted_count >= num_out
                     and first_frame.shape == view_of(0).shape
+                    and not _force_buffered
                 )
+                # with the async detector downstream, decode runs in its
+                # own producer thread and detection starts on chunk 0 while
+                # later frames are still decoding (the decode was a serial
+                # prefix of the run before); a lying header triggers a
+                # _ShortStreamRestart → buffered re-run instead of cycling
+                # over composited sink slots. skip_if_short must know the
+                # final count up front, so it keeps the synchronous decode.
+                async_decode = None
+                if (frames_in_file and not skip_if_short
+                        and self.detector is not None
+                        and icfg.box[0] == -1):
+                    async_decode = _AsyncDecode(self, reader, first_frame,
+                                                view_of, num_out)
+                    frames = async_decode.frames
                 # static mode only ever touches frame 0 — skip the rest of
                 # the decode (the reference decodes everything regardless,
                 # inference.py:190-213)
-                if reader is not None and not static:
+                if reader is not None and not static and async_decode is None:
                     with self.timings("decode"):
                         if frames_in_file:
                             v0 = view_of(0)
@@ -515,8 +627,8 @@ class LipSyncPipeline:
                         f"{face_path}: {len(frames)} frames < {num_out} "
                         f"mel chunks"
                     )
-                if not static:
-                    frames = frames[:num_out]
+                if not static and async_decode is None:
+                    frames = frames[:num_out]  # live async list never sliced
                 self._static_frame = frames[0] if static else None
                 if (self.detector is not None and not static
                         and icfg.box[0] == -1):
@@ -524,7 +636,12 @@ class LipSyncPipeline:
                     # background thread and consumed as the prep loop needs
                     # them (the reference detects ALL frames before
                     # generating any, inference.py:108-121)
-                    box_of = _AsyncBoxes(self, frames).get
+                    box_of = _AsyncBoxes(
+                        self, frames,
+                        n=num_out if async_decode is not None else None,
+                        wait_upto=(async_decode.wait_upto
+                                   if async_decode is not None else None),
+                    ).get
                 else:
                     with self.timings("detect"):
                         boxes = self._face_boxes(frames, static)
@@ -534,6 +651,7 @@ class LipSyncPipeline:
                 source = self._materialized_source(
                     frames, box_of, static, num_out,
                     in_place=frames_in_file,
+                    n_frames=(num_out if async_decode is not None else None),
                 )
             else:
                 y1, y2, x1, x2 = icfg.box
@@ -555,7 +673,7 @@ class LipSyncPipeline:
                 source, mel_padded, starts, num_out, static,
                 video_fps, wav_path, outfile, writer, tmp_video, mux,
             )
-        except BaseException:
+        except BaseException as e:
             # a failed run must not leave a (possibly multi-GB preallocated)
             # partial container behind at the output path
             try:
@@ -567,6 +685,21 @@ class LipSyncPipeline:
                     os.remove(tmp_video)
                 except OSError:
                     pass
+            if isinstance(e, _ShortStreamRestart):
+                # container header overestimated while decoding straight
+                # into the sink — redo the run fully buffered (cyclic frame
+                # reuse is then safe); rare, costs one re-decode
+                warnings.warn(
+                    f"{face_path}: container frame-count hint overestimated "
+                    f"({e}); re-running buffered"
+                )
+                if reader is not None:
+                    reader.close()
+                return self.run(
+                    face_path, audio_path, outfile, fps=fps,
+                    temp_dir=temp_dir, tail=tail,
+                    skip_if_short=skip_if_short, _force_buffered=True,
+                )
             raise
         finally:
             if reader is not None:
@@ -575,23 +708,27 @@ class LipSyncPipeline:
     # -- frame sources ----------------------------------------------------------
 
     def _materialized_source(self, frames, box_of, static: bool,
-                             num_out: int, in_place: bool = False):
+                             num_out: int, in_place: bool = False,
+                             n_frames: Optional[int] = None):
         """Yield FrameCrops from a materialized frame list (cyclic reuse
         ``i % len(frames)``, inference.py:121). ``box_of(idx)`` supplies the
         face box — possibly blocking on the async detector. In static mode
         the writer composites onto one canvas, so no frame is attached.
         ``in_place``: the frames ARE the output file's mmap'd payload slots
         (one per output, no cycling — see run()'s ``frames_in_file``), so
-        composite needs only the mouth paste."""
+        composite needs only the mouth paste. ``n_frames``: planned length
+        of a still-growing (async-decoded) list — box_of(idx) is consulted
+        FIRST and its readiness implies frames[idx] is decoded."""
         def gen():
-            n = len(frames)
+            n = len(frames) if n_frames is None else n_frames
             owns = num_out <= n  # every source frame used at most once
             for i in range(num_out):
                 if static:
                     yield FrameCrop(None, box_of(0), False, index=i)
                 else:
                     idx = i % n
-                    yield FrameCrop(frames[idx], box_of(idx), owns, index=i,
+                    box = box_of(idx)  # blocks until detect → decode caught up
+                    yield FrameCrop(frames[idx], box, owns, index=i,
                                     in_place=in_place)
         return gen()
 
