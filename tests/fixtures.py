@@ -83,3 +83,25 @@ def write_filelists(filelists_dir: str, rel_video_paths, split: str = "train"):
     with open(join(filelists_dir, f"{split}.txt"), "w") as f:
         for p in rel_video_paths:
             f.write(p + "\n")
+
+
+def pixel_stub_detector(variables, parts, factor=1):
+    """Stub FaceDetectionPipeline._jit_detect that finds the bright (>150)
+    region in the actual pixel content — behaves like a real detector for
+    full frames AND ROI crops, so ROI-tracked detection and detector-mode
+    inference can be tested end to end without S3FD compiles."""
+    x = np.concatenate([np.asarray(q) for q in parts], axis=0)
+    if factor > 1:
+        x = x[:, ::factor, ::factor]
+    total = x.shape[0]
+    boxes = np.zeros((total, 16, 4), np.float32)
+    scores = np.zeros((total, 16), np.float32)
+    num = np.zeros(total, np.int64)
+    for i in range(total):
+        ys, xs = np.where(x[i].max(axis=-1) > 150)
+        if len(ys) < 4:
+            continue
+        boxes[i, 0] = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+        scores[i, 0] = 0.9
+        num[i] = 1
+    return boxes, scores, num

@@ -297,25 +297,7 @@ class TestDetectDownscale:
         assert np.abs(a - b).max() <= 2.0
 
 
-def _pixel_detector(variables, parts, factor=1):
-    """Stub _jit_detect that finds the bright (>150) square in the actual
-    pixel content — behaves like a real detector for full frames AND ROI
-    crops, so the ROI-tracked path can be tested end to end."""
-    x = np.concatenate([np.asarray(q) for q in parts], axis=0)
-    if factor > 1:
-        x = x[:, ::factor, ::factor]
-    total = x.shape[0]
-    boxes = np.zeros((total, 16, 4), np.float32)
-    scores = np.zeros((total, 16), np.float32)
-    num = np.zeros(total, np.int64)
-    for i in range(total):
-        ys, xs = np.where(x[i].max(axis=-1) > 150)
-        if len(ys) < 4:
-            continue
-        boxes[i, 0] = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
-        scores[i, 0] = 0.9
-        num[i] = 1
-    return boxes, scores, num
+from fixtures import pixel_stub_detector as _pixel_detector  # noqa: E402
 
 
 class TestRoiTracking:

@@ -298,39 +298,30 @@ class TestDetectorInference:
             {"params": {"w": np.zeros((1,), np.float32)}}, batch_size=8
         )
 
-        def pixel_detect(variables, parts, factor=1):
-            x = np.concatenate([np.asarray(q) for q in parts], axis=0)
-            if factor > 1:
-                x = x[:, ::factor, ::factor]
-            total = x.shape[0]
-            boxes = np.zeros((total, 16, 4), np.float32)
-            scores = np.zeros((total, 16), np.float32)
-            num = np.zeros(total, np.int64)
-            for i in range(total):
-                ys, xs = np.where(x[i].max(axis=-1) > 150)
-                if len(ys) < 4:
-                    continue
-                boxes[i, 0] = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
-                scores[i, 0] = 0.9
-                num[i] = 1
-            return boxes, scores, num
+        from fixtures import pixel_stub_detector
 
-        det._jit_detect = pixel_detect
+        det._jit_detect = pixel_stub_detector
         return det
 
-    @staticmethod
-    def _shm_dir(tmp_path):
+    @pytest.fixture()
+    def shm_dir(self, tmp_path):
         """An output dir on a RAM-backed fs when available: that is where
         make_frame_writer picks the preallocated in-place sink, which is the
         decode-into-views/async-decode path under test. Plain tmp_path
-        still covers the buffered fallback on hosts without /dev/shm."""
+        still covers the buffered fallback on hosts without /dev/shm.
+        Removed on teardown — leaked raw-AVI payloads in /dev/shm are RAM."""
+        import shutil
         import tempfile
 
         if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-            return tempfile.mkdtemp(prefix="w2l_test_", dir="/dev/shm")
-        return str(tmp_path / "shm")
+            d = tempfile.mkdtemp(prefix="w2l_test_", dir="/dev/shm")
+            yield d
+            shutil.rmtree(d, ignore_errors=True)
+        else:
+            yield str(tmp_path / "shm")
 
-    def test_detector_mode_end_to_end(self, gen_vars, media, tmp_path):
+    def test_detector_mode_end_to_end(self, gen_vars, media, tmp_path,
+                                      shm_dir):
         video, wav = media
         cfg = dataclasses.replace(
             DEFAULT_CONFIG,
@@ -339,9 +330,8 @@ class TestDetectorInference:
         )
         pipe = LipSyncPipeline(gen_vars, detector=self._detector(),
                                config=cfg)
-        outdir = self._shm_dir(tmp_path)
-        out = os.path.join(outdir, "det_out.mp4")
-        pipe.run(video, wav, out, temp_dir=outdir)
+        out = os.path.join(shm_dir, "det_out.mp4")
+        pipe.run(video, wav, out, temp_dir=shm_dir)
         frames = read_all_frames(out)
         # 1.0 s audio < 1.2 s video: output length == mel chunk count < 30
         assert 20 <= len(frames) < 30
@@ -355,7 +345,7 @@ class TestDetectorInference:
         assert np.abs(frames[3].astype(int) - src[3].astype(int)).max() > 16
 
     def test_short_header_restarts_buffered(self, gen_vars, tmp_path,
-                                            monkeypatch):
+                                            monkeypatch, shm_dir):
         import wav2lip_tpu.infer.pipeline as P
 
         video = make_video(str(tmp_path / "v.mp4"), num_frames=20,
@@ -378,16 +368,15 @@ class TestDetectorInference:
         )
         pipe = LipSyncPipeline(gen_vars, detector=self._detector(),
                                config=cfg)
-        outdir = self._shm_dir(tmp_path)
-        out = os.path.join(outdir, "o.mp4")
+        out = os.path.join(shm_dir, "o.mp4")
         from wav2lip_tpu.io.video import ram_backed_bytes_free
 
         expect_restart = ram_backed_bytes_free(out) > (1 << 24)
         if expect_restart:
             with pytest.warns(UserWarning, match="re-running buffered"):
-                pipe.run(video, wav, out, temp_dir=outdir)
+                pipe.run(video, wav, out, temp_dir=shm_dir)
         else:  # no RAM-backed sink → buffered from the start, no restart
-            pipe.run(video, wav, out, temp_dir=outdir)
+            pipe.run(video, wav, out, temp_dir=shm_dir)
         frames = read_all_frames(out)
         # 1.2 s audio > 0.8 s video: output cycles the 20 source frames up
         # to the mel chunk count

@@ -93,8 +93,9 @@ class TestSyncNetStep:
         state = TrainState.create(sync_vars, tx)
         batch = shard_batch(mesh2, sync_batch)
 
-        # train steps DONATE their input state (buffers are dead after the
-        # call) — snapshot the pre-step leaves host-side for the comparison
+        # snapshot the pre-step leaves host-side: the trainers build these
+        # steps with donate=True (input-state buffers dead after the call),
+        # so comparisons stay donation-safe regardless of configuration
         params0 = jax.tree.map(np.asarray, state.params)
         stats0 = jax.tree.map(np.asarray, state.batch_stats)
         state2, m = train_step(state, *batch)
@@ -105,6 +106,26 @@ class TestSyncNetStep:
 
         em = eval_step(state2, *batch)
         assert np.isfinite(float(em["loss"]))
+
+    def test_donate_true_consumes_state(self, sync_batch, sync_vars):
+        """donate=True — the trainers' configuration: the update writes into
+        the consumed state's buffers (old state reads fail as deleted), and
+        the rebound state keeps stepping. A private copy of the shared
+        sync_vars fixture is donated, never the fixture itself."""
+        import jax.numpy as jnp
+
+        tx = optax.adam(1e-4)
+        train_step, _ = make_syncnet_steps(tx, donate=True)
+        state = TrainState.create(
+            jax.tree.map(jnp.array, sync_vars), tx
+        )
+        old = state
+        state, m = train_step(state, *sync_batch)
+        assert np.isfinite(float(m["loss"]))
+        with pytest.raises(RuntimeError, match="deleted"):
+            np.asarray(jax.tree.leaves(old.params)[0])
+        state, m = train_step(state, *sync_batch)
+        assert int(state.step) == 2
 
     def test_loss_decreases_over_steps(self, sync_batch, sync_vars):
         # single-device jit path: the subject is the optimizer update, not
@@ -215,7 +236,7 @@ class TestGANStep:
         ds = TrainState.create(dvars, disc_tx)
         batch = shard_batch(mesh2, w2l_batch)
 
-        # states are donated into the step — snapshot params before
+        # snapshot params host-side (donation-safe pattern; see above)
         gp0 = jax.tree.map(np.asarray, gs.params)
         dp0 = jax.tree.map(np.asarray, ds.params)
         gs2, ds2, m = train_step(gs, ds, sync_vars, batch,

@@ -39,12 +39,10 @@ import argparse
 import hashlib
 import json
 import os
-import sys
 import urllib.error
 import urllib.request
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
 
 
 def _gdrive(file_id: str) -> str:
@@ -185,4 +183,4 @@ def main(argv=None) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    raise SystemExit(main())

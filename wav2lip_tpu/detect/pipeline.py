@@ -156,7 +156,7 @@ class FaceDetectionPipeline:
         """Detection-resolution divisor for (h, w) frames per
         ``cfg.downscale`` (0 = auto: smallest integer factor bringing the
         long side under ``cfg.downscale_max_side``)."""
-        d = int(getattr(self.cfg, "downscale", 1) or 0)
+        d = int(self.cfg.downscale or 0)
         if d >= 1:
             return d
         side = max(int(h), int(w))
@@ -208,7 +208,7 @@ class FaceDetectionPipeline:
         mode (:meth:`first_face_boxes_tracked`); without a tracker the
         reference-exact full-frame path runs for every frame."""
         if (tracker is not None
-                and getattr(self.cfg, "roi_track", False)):
+                and self.cfg.roi_track):
             return self.first_face_boxes_tracked(frames_bgr, tracker)
         out: List[Optional[Tuple[int, int, int, int]]] = []
         for dets in self.detect_batch(frames_bgr):
@@ -286,7 +286,14 @@ class FaceDetectionPipeline:
         result."""
         frame = np.ascontiguousarray(frame, np.uint8)
         f = self.downscale_factor(*frame.shape[:2])
-        parts = tuple(put_sharded(frame[None], 1))
+        if self.mesh is not None:
+            # mesh-homed weights need a mesh-placed input; a single frame
+            # cannot batch-shard, so pad to one frame per device
+            n = self.mesh.devices.size
+            batch = np.broadcast_to(frame, (n,) + frame.shape)
+            parts = (put_mesh_batch(np.ascontiguousarray(batch), self.mesh),)
+        else:
+            parts = tuple(put_sharded(frame[None], 1))
         boxes, scores, num = self._jit_detect(self.variables, parts, f)
         boxes, num = np.asarray(boxes), np.asarray(num)
         if int(num[0]) < 1:
@@ -314,7 +321,7 @@ class FaceDetectionPipeline:
         out: List[Optional[Tuple[int, int, int, int]]] = [None] * n
         refresh = max(1, int(self.cfg.roi_refresh_every))
         roi_out = int(self.cfg.roi_out)
-        roi_batch = int(getattr(self.cfg, "roi_batch", 256))
+        roi_batch = int(self.cfg.roi_batch)
         i = 0
         while i < n:
             frame = np.asarray(frames_bgr[i])

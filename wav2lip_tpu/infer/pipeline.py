@@ -133,12 +133,20 @@ class _AsyncDecode:
         self.frames: List[np.ndarray] = []
         self.short = False
         self.done = False
+        self.stop = False  # error-path shutdown (run() cleanup)
         self.error: Optional[BaseException] = None
         self.cond = threading.Condition()
         self.first_frame = first_frame
         self.thread = threading.Thread(target=self._run, daemon=True,
                                        name="w2l-decode-views")
+        pipeline._register_producer(self.shutdown)
         self.thread.start()
+
+    def shutdown(self) -> None:
+        """Stop decoding and wait for the thread: cleanup paths must not
+        close/truncate the sink while this thread writes into its views."""
+        self.stop = True
+        self.thread.join(timeout=10.0)
 
     def _publish(self, frame) -> None:
         with self.cond:
@@ -157,7 +165,7 @@ class _AsyncDecode:
             v0 = self.view_of(0)
             np.copyto(v0, self.first_frame)
             self._publish(v0)
-            while len(self.frames) < self.num_out:
+            while len(self.frames) < self.num_out and not self.stop:
                 v = self.view_of(len(self.frames))
                 with self.pipe.timings("decode"):
                     got = self.reader.read(dst=v)
@@ -173,7 +181,11 @@ class _AsyncDecode:
                     np.copyto(v, got)
                     got = v
                 self._publish(got)
-            self._finish(short=False)
+            if self.stop and len(self.frames) < self.num_out:
+                self._finish(short=False,
+                             error=RuntimeError("decode aborted"))
+            else:
+                self._finish(short=False)
         except BaseException as e:  # noqa: BLE001 — re-raised in wait_upto
             self._finish(short=False, error=e)
 
@@ -235,7 +247,7 @@ class _AsyncBoxes:
 
         self.tracker = (
             RoiTracker()
-            if getattr(pipeline.cfg.detect, "roi_track", False) else None
+            if pipeline.cfg.detect.roi_track else None
         )
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
@@ -464,6 +476,10 @@ class LipSyncPipeline:
         icfg = self.cfg.infer
         static = icfg.static
         self.timings = StageTimer()
+        # per-run producer-thread shutdown hooks (decode threads writing
+        # into the sink's mmap views): error cleanup must stop them BEFORE
+        # touching the sink (see PreallocRawAVIWriter.abort)
+        self._producer_stops: List = []
         os.makedirs(temp_dir, exist_ok=True)
 
         # 1. audio → mel (+ NaN guard for TTS audio, inference.py:228-229)
@@ -589,31 +605,23 @@ class LipSyncPipeline:
                 # the decode (the reference decodes everything regardless,
                 # inference.py:190-213)
                 if reader is not None and not static and async_decode is None:
-                    with self.timings("decode"):
-                        if frames_in_file:
-                            v0 = view_of(0)
-                            np.copyto(v0, first_frame)
-                            frames[0] = v0
-                            while len(frames) < num_out:
-                                v = view_of(len(frames))
-                                got = reader.read(dst=v)
-                                if got is None:
-                                    break
-                                if not np.shares_memory(got, v):
-                                    if got.shape != v.shape:
-                                        raise ValueError(
-                                            f"frame {len(frames)} shape "
-                                            f"{got.shape} != {v.shape}"
-                                        )
-                                    np.copyto(v, got)
-                                    got = v
-                                frames.append(got)
-                            if len(frames) < num_out:
-                                # short stream → frames will cycle; views
-                                # alias output slots, so fall back to RAM
-                                frames = [np.array(f) for f in frames]
-                                frames_in_file = False
-                        else:
+                    if frames_in_file:
+                        # same decode-into-views protocol, waited to
+                        # completion here (skip_if_short / no-detector paths
+                        # need the final frame count up front)
+                        sync_decode = _AsyncDecode(self, reader, first_frame,
+                                                   view_of, num_out)
+                        try:
+                            sync_decode.wait_upto(num_out)
+                            frames = sync_decode.frames
+                        except _ShortStreamRestart:
+                            # short stream → frames will cycle; views alias
+                            # output slots, so fall back to RAM copies
+                            frames = [np.array(f)
+                                      for f in sync_decode.frames]
+                            frames_in_file = False
+                    else:
+                        with self.timings("decode"):
                             frames.extend(reader)
                 est_gb = len(frames) * first_frame.nbytes / 1e9
                 if not frames_in_file and est_gb > icfg.max_buffer_gb:
@@ -675,9 +683,18 @@ class LipSyncPipeline:
             )
         except BaseException as e:
             # a failed run must not leave a (possibly multi-GB preallocated)
-            # partial container behind at the output path
+            # partial container behind at the output path. Order matters:
+            # stop decode producers FIRST (they write into the sink's mmap
+            # views), then release the sink WITHOUT truncating (abort) —
+            # shrinking a file under a live MAP_SHARED view SIGBUSes on the
+            # next touch, while deleting an aborted file is safe
+            for stop in self._producer_stops:
+                try:
+                    stop()
+                except Exception:
+                    pass
             try:
-                writer.close()
+                getattr(writer, "abort", writer.close)()
             except Exception:
                 pass
             if os.path.exists(tmp_video):
@@ -806,6 +823,13 @@ class LipSyncPipeline:
         return self._threaded_source(gen(),
                                      depth=64 if view_of is not None else 8)
 
+    def _register_producer(self, stop_fn) -> None:
+        """Register a per-run producer-thread shutdown hook; run()'s error
+        cleanup invokes them before releasing the output sink."""
+        if not hasattr(self, "_producer_stops"):
+            self._producer_stops = []
+        self._producer_stops.append(stop_fn)
+
     def _threaded_source(self, inner, depth: int):
         """Run a frame-source generator in a producer thread behind a
         bounded queue. Exceptions cross to the consumer; a sentinel marks
@@ -832,8 +856,15 @@ class LipSyncPipeline:
             except BaseException as e:  # noqa: BLE001 — re-raised below
                 put(e)
 
-        threading.Thread(target=run, daemon=True,
-                         name="w2l-decode").start()
+        thread = threading.Thread(target=run, daemon=True,
+                                  name="w2l-decode")
+
+        def shutdown():
+            stop[0] = True
+            thread.join(timeout=10.0)
+
+        self._register_producer(shutdown)
+        thread.start()
 
         def gen():
             try:
@@ -980,7 +1011,13 @@ class LipSyncPipeline:
                 errors.append(e)
             finally:
                 try:
-                    writer.close()
+                    if errors:
+                        # decode producers may still hold live views into
+                        # the sink — abort releases without the truncate
+                        # that would SIGBUS them; run() deletes the file
+                        getattr(writer, "abort", writer.close)()
+                    else:
+                        writer.close()
                 except BaseException as e:  # noqa: BLE001
                     if not errors:
                         errors.append(e)

@@ -498,6 +498,24 @@ class PreallocRawAVIWriter(_AVIWriterBase):
         np.copyto(self.frame_view(i), frame_bgr)
         self.commit(i)
 
+    def abort(self) -> None:
+        """Error-path close: release the fd WITHOUT truncating or finalizing
+        the container. Producer/composite threads may still hold live views
+        into the mapping, and shrinking a file under a MAP_SHARED view
+        SIGBUSes the process on their next touch — while *unlinking* a
+        mapped file is safe (pages live until munmap). Callers abort and
+        then delete the file; nothing valid is lost (the container was
+        incomplete)."""
+        if self._closed:
+            return
+        self._closed = True
+        del self._arr
+        try:
+            self._mm.close()
+        except BufferError:
+            pass  # live views — the mapping dies with the last view
+        self._file.close()
+
     def close(self) -> None:
         if self._closed:
             return
