@@ -171,11 +171,34 @@ class FaceDetectionPipeline:
         With ``cfg.downscale`` active, the jitted graph mean-pools frames
         1/f before the trunk (f^2 fewer trunk FLOPs) and the returned boxes
         are rescaled by f here.
+
+        Sub-batches run with a small in-flight window: upload and dispatch
+        are async, so batch k+1 crosses the link and computes while batch
+        k's boxes come back — without the window each sub-batch paid a full
+        upload→compute→fetch round trip (the round trip, not the compute,
+        is the detection budget on a high-RTT device link).
         """
+        from collections import deque
+
         n = len(frames_bgr)
         first = np.asarray(frames_bgr[0])
         f = self.downscale_factor(*first.shape[:2])
         results: List[List[Tuple]] = []
+        inflight: "deque" = deque()  # (un-fetched device outs, valid_count)
+        window = 3
+
+        def drain_one():
+            handles, valid = inflight.popleft()
+            boxes, scores, num = map(np.asarray, handles)
+            if f > 1:
+                boxes = boxes * float(f)  # back to source coordinates
+            for j in range(valid):
+                k = int(num[j])
+                results.append(
+                    [tuple(boxes[j, m]) + (float(scores[j, m]),)
+                     for m in range(k)]
+                )
+
         for i in range(0, n, self.batch_size):
             chunk = np.asarray(frames_bgr[i : i + self.batch_size], np.uint8)
             pad = self.batch_size - len(chunk)
@@ -187,15 +210,17 @@ class FaceDetectionPipeline:
                 parts = (put_mesh_batch(chunk, self.mesh),)
             else:
                 parts = tuple(put_sharded(chunk, self.streams))
-            boxes, scores, num = self._jit_detect(self.variables, parts, f)
-            boxes, scores, num = map(np.asarray, (boxes, scores, num))
-            if f > 1:
-                boxes = boxes * float(f)  # back to source-frame coordinates
-            for j in range(min(self.batch_size, n - i)):
-                k = int(num[j])
-                results.append(
-                    [tuple(boxes[j, m]) + (float(scores[j, m]),) for m in range(k)]
-                )
+            out = self._jit_detect(self.variables, parts, f)
+            for part in out:
+                try:
+                    part.copy_to_host_async()
+                except AttributeError:
+                    break
+            inflight.append((out, min(self.batch_size, n - i)))
+            if len(inflight) >= window:
+                drain_one()
+        while inflight:
+            drain_one()
         return results
 
     def first_face_boxes(
