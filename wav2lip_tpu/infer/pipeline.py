@@ -25,6 +25,12 @@ host, inference.py:249-272):
 * streaming decode: when boxes are known without random access (fixed
   ``--box`` on a long clip) frames are decoded as needed and freed after
   compositing instead of materializing the whole clip in RAM;
+* decode runs in its own producer thread in every mode, and on a RAM-backed
+  output target frames decode DIRECTLY into the preallocated raw-AVI
+  container's mmap'd payload slots (io.video.PreallocRawAVIWriter) — the
+  composite stage pastes the mouth patch in place and the encode and write
+  stages cease to exist; detector-mode runs overlap decode with detection
+  the same way (_AsyncDecode);
 * composite AND per-frame JPEG encode fan out across a thread pool (both
   are frame-independent and release the GIL); only the ordered container
   writes stay serial. The intermediate defaults to a direct MJPG-AVI writer
