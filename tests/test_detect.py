@@ -300,6 +300,44 @@ class TestDetectDownscale:
 from fixtures import pixel_stub_detector as _pixel_detector  # noqa: E402
 
 
+class TestDetectBatchWindow:
+    def test_inflight_window_preserves_order(self):
+        """detect_batch dispatches sub-batches behind a 3-deep in-flight
+        window; per-frame results must still come back in frame order, with
+        the padded tail discarded."""
+        from wav2lip_tpu.config import DEFAULT_CONFIG
+        from wav2lip_tpu.detect import FaceDetectionPipeline
+
+        det = FaceDetectionPipeline(
+            {"params": {"w": np.zeros((1,), np.float32)}},
+            DEFAULT_CONFIG.detect, batch_size=4,
+        )
+        calls = []
+
+        def stub(variables, parts, factor=1):
+            x = np.concatenate([np.asarray(q) for q in parts], axis=0)
+            calls.append(x.shape[0])
+            total = x.shape[0]
+            boxes = np.zeros((total, 16, 4), np.float32)
+            scores = np.zeros((total, 16), np.float32)
+            num = np.ones(total, np.int64)
+            # encode each frame's identity (its mean brightness) in x1
+            boxes[:, 0, 0] = x.reshape(total, -1).mean(axis=1)
+            scores[:, 0] = 0.9
+            return boxes, scores, num
+
+        det._jit_detect = stub
+        n = 11  # 3 sub-batches: 4 + 4 + 3(padded to 4)
+        frames = np.stack([
+            np.full((32, 32, 3), 10 * (i + 1), np.uint8) for i in range(n)
+        ])
+        dets = det.detect_batch(frames)
+        assert calls == [4, 4, 4]
+        assert len(dets) == n
+        for i, d in enumerate(dets):
+            assert d[0][0] == pytest.approx(10 * (i + 1))
+
+
 class TestRoiTracking:
     """ROI-tracked first_face_boxes (DetectConfig.roi_track): keyframe
     full-frame detection, then small-crop tracking with full-frame fallback

@@ -119,6 +119,24 @@ class TestPreallocRawAVIWriter:
         cap.release()
         assert n == 4
 
+    def test_abort_skips_truncation_with_live_views(self, tmp_path):
+        """Error-path abort(): releases the fd WITHOUT truncating while a
+        frame view is still alive (truncating under a live MAP_SHARED view
+        would SIGBUS its next writer) — the view stays writable, the file
+        keeps its preallocated size, and a later close() is a no-op."""
+        from wav2lip_tpu.io.video import PreallocRawAVIWriter
+
+        p = str(tmp_path / "abort.avi")
+        w = PreallocRawAVIWriter(p, 25.0, (32, 32), max_frames=10)
+        v = w.frame_view(7)  # live view held across the abort
+        size_before = os.path.getsize(p)
+        w.abort()
+        assert os.path.getsize(p) == size_before  # no truncate
+        v[:] = 123  # pages stay valid (no SIGBUS) until the view dies
+        assert int(v[0, 0, 0]) == 123
+        w.close()  # idempotent after abort
+        w.abort()
+
     def test_non_prefix_commit_rejected(self, tmp_path):
         from wav2lip_tpu.io.video import PreallocRawAVIWriter
 
