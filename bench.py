@@ -20,17 +20,71 @@ the reference batch size).
 
 Env knobs: W2L_BENCH_SECONDS (default 10), W2L_BENCH_RES (default 1080),
 W2L_BENCH_BATCH (default 128), W2L_BENCH_DETECT=0 to skip the detector legs,
-W2L_BENCH_DETECT_RES (default 480), W2L_BENCH_TRAIN=0 to skip the train leg.
+W2L_BENCH_DETECT_RES (default 480), W2L_BENCH_TRAIN=0 to skip the train leg,
+W2L_BENCH_DEADLINE_S (default 2400): wall deadline after which whatever legs
+completed are printed with ``"partial": true`` — the tunneled device link
+has been observed to wedge outright for hours, and a partial record beats an
+empty one when that happens mid-bench.
 """
 
 import json
 import os
+import signal
 import sys
 import tempfile
 import time
 
+# legs write finished results here so the deadline/SIGTERM handler can emit
+# a partial record if a later leg hangs on a wedged device link
+RESULT: dict = {}
+
+
+_DONE = False  # set right before the normal final print
+
+
+def _emit_partial(reason: str):
+    RESULT.setdefault(
+        "metric", "e2e_lipsync_frames_per_sec_1080p")
+    RESULT.setdefault("value", 0.0)
+    RESULT.setdefault("unit", "frames/s")
+    RESULT.setdefault("vs_baseline", 0.0)
+    RESULT["partial"] = True
+    RESULT["partial_reason"] = reason
+    print(json.dumps(RESULT), flush=True)
+    # exit 0: the partial record on stdout IS the deliverable — a nonzero
+    # code could make a driver discard it in favor of nothing
+    os._exit(0)
+
+
+def _start_watchdog(deadline_s: float) -> None:
+    """Emit the partial record from a daemon THREAD at the deadline: a
+    wedged device call never returns to the interpreter, so a SIGALRM
+    Python handler (main-thread-only) would never run."""
+    import threading
+
+    def watch():
+        time.sleep(deadline_s)
+        if not _DONE:
+            _emit_partial(
+                f"deadline {deadline_s:.0f}s hit before all legs finished "
+                f"(device link wedged?)"
+            )
+
+    threading.Thread(target=watch, daemon=True, name="bench-watchdog").start()
+    # SIGTERM (driver timeout) also emits what exists — only effective while
+    # the main thread is in Python, but free
+    try:
+        signal.signal(
+            signal.SIGTERM, lambda s, f: _emit_partial(f"signal {s}")
+        )
+    except ValueError:
+        pass  # not the main thread / restricted env
+
 
 def main():
+    _start_watchdog(max(60.0, float(
+        os.environ.get("W2L_BENCH_DEADLINE_S", "2400"))))
+
     seconds = float(os.environ.get("W2L_BENCH_SECONDS", "10"))
     res = int(os.environ.get("W2L_BENCH_RES", "1080"))
     batch = int(os.environ.get("W2L_BENCH_BATCH", "128"))
@@ -116,14 +170,15 @@ def main():
     fps_e2e = frames / dt
     realtime_x = fps_e2e / fps
 
-    result = {
+    result = RESULT  # legs land in the module dict the partial emitter reads
+    result.update({
         "metric": "e2e_lipsync_frames_per_sec_1080p",
         "value": round(fps_e2e, 2),
         "unit": "frames/s",
         "vs_baseline": round(realtime_x / 5.0, 3),
         "wall_s": round(dt, 3),
         "stages": stages,
-    }
+    })
 
     # auxiliary legs are best-effort: a failure must not take down the
     # primary metric line
@@ -157,6 +212,8 @@ def main():
 
     _leg("mfu", _mfu_leg, result)
 
+    global _DONE
+    _DONE = True  # all legs done — retire the partial-record watchdog
     print(json.dumps(result))
 
 
