@@ -248,11 +248,24 @@ class FaceDetectionPipeline:
     # -- ROI-tracked mode ---------------------------------------------------
 
     def _roi_window(self, box, h: int, w: int) -> Tuple[int, int, int]:
-        """Square ROI (x0, y0, side) around ``box``, clamped in-frame."""
+        """Square ROI (x0, y0, side) around ``box``, clamped in-frame.
+
+        The side snaps to an integer multiple of ``roi_out`` whenever the
+        snapped window still covers the face with margin (≥1.1× its size):
+        cv2's INTER_AREA has a fast path for integer shrink factors
+        (measured 3-4× cheaper per frame than the general kernel at these
+        sizes), and ``side == roi_out`` skips the resize outright. A face
+        too large for any multiple keeps the exact clamped side — a window
+        smaller than the face would shed every frame into the full-frame
+        fallback, which costs far more than the slower resize."""
         x1, y1, x2, y2 = box
         size = max(x2 - x1, y2 - y1)
-        side = int(min(max(self.cfg.roi_out, self.cfg.roi_scale * size),
-                       min(h, w)))
+        m = min(h, w)
+        side = int(min(max(self.cfg.roi_out, self.cfg.roi_scale * size), m))
+        r = int(self.cfg.roi_out)
+        f = min(max(1, int(round(side / r))), max(1, m // r))
+        if f * r >= 1.1 * size:
+            side = f * r
         cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
         x0 = int(round(min(max(cx - side / 2.0, 0), w - side)))
         y0 = int(round(min(max(cy - side / 2.0, 0), h - side)))
@@ -308,9 +321,29 @@ class FaceDetectionPipeline:
         """Full-frame first-face box for ONE frame through a dedicated
         (1, H, W, 3) graph — keyframes/fallbacks would otherwise pad to
         ``batch_size`` and upload batch_size x the frame bytes for a single
-        result."""
+        result.
+
+        The ``downscale`` decimation runs on the HOST here (cv2 integer-
+        factor INTER_AREA — the same box mean the in-graph pool computes,
+        modulo uint8 rounding): this path is ROI-mode-only (keyframes and
+        fallbacks) and single-frame, so shrinking the upload f²× matters
+        more than keeping the pool on device (the link moves ~40-65 MB/s
+        per stream; a 720p frame is 2.8 MB, its half-res pool 0.7 MB)."""
+        import cv2
+
         frame = np.ascontiguousarray(frame, np.uint8)
         f = self.downscale_factor(*frame.shape[:2])
+        if f > 1:
+            h0, w0 = frame.shape[:2]
+            frame = cv2.resize(
+                frame[: h0 // f * f, : w0 // f * f],
+                (w0 // f, h0 // f),
+                interpolation=cv2.INTER_AREA,
+            )
+            scale_back = float(f)
+            f = 1
+        else:
+            scale_back = 1.0
         if self.mesh is not None:
             # mesh-homed weights need a mesh-placed input; a single frame
             # cannot batch-shard, so pad to one frame per device
@@ -323,7 +356,7 @@ class FaceDetectionPipeline:
         boxes, num = np.asarray(boxes), np.asarray(num)
         if int(num[0]) < 1:
             return None
-        return boxes[0, 0] * float(f)
+        return boxes[0, 0] * scale_back
 
     def first_face_boxes_tracked(
         self, frames_bgr, tracker: RoiTracker
@@ -382,15 +415,22 @@ class FaceDetectionPipeline:
             pending = []  # (k0, k1, un-fetched device outs)
             for k0 in range(i, j, roi_batch):
                 k1 = min(j, k0 + roi_batch)
-                crops = np.stack([
-                    cv2.resize(
+                if side == roi_out:  # snapped to identity: crop is the input
+                    crops = np.stack([
                         np.asarray(frames_bgr[k])[y0 : y0 + side,
-                                                  x0 : x0 + side],
-                        (roi_out, roi_out),
-                        interpolation=cv2.INTER_AREA,
-                    )
-                    for k in range(k0, k1)
-                ])
+                                                  x0 : x0 + side]
+                        for k in range(k0, k1)
+                    ])
+                else:
+                    crops = np.stack([
+                        cv2.resize(
+                            np.asarray(frames_bgr[k])[y0 : y0 + side,
+                                                      x0 : x0 + side],
+                            (roi_out, roi_out),
+                            interpolation=cv2.INTER_AREA,
+                        )
+                        for k in range(k0, k1)
+                    ])
                 pending.append(
                     (k0, k1, self._dispatch_crops(crops))
                 )
