@@ -24,17 +24,6 @@ _missing = [
 ]
 if _missing:
     os.environ["XLA_FLAGS"] = (xla_flags + " " + " ".join(_missing)).strip()
-    # XLA parses XLA_FLAGS when jax first loads. This environment's
-    # sitecustomize imports jax at interpreter startup — before conftest —
-    # so mutating the env here is silently too late; re-exec pytest once
-    # with the flags already in the environment.
-    if "jax" in sys.modules and not os.environ.get("W2L_PYTEST_REEXEC"):
-        os.environ["W2L_PYTEST_REEXEC"] = "1"
-        os.execvpe(
-            sys.executable,
-            [sys.executable, "-m", "pytest", *sys.argv[1:]],
-            os.environ,
-        )
 
 # Force CPU. The machine environment exports JAX_PLATFORMS=axon and the axon
 # sitecustomize re-registers the TPU plugin regardless of that env var, so the
@@ -45,6 +34,34 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# XLA reads XLA_FLAGS when a backend CLIENT initializes, so setting the env
+# above works even though sitecustomize imported jax at interpreter startup —
+# unless something already touched a backend, which the device count below
+# detects. Only THEN re-run pytest once with the env preset. The re-run is a
+# last resort because its output is invisible by construction: pytest's
+# fd-level global capture is already active while conftests load, so a child
+# (or exec'd) pytest inherits the capture tmpfile as stdout and the report is
+# discarded when this process exits — only the exit code survives. The child
+# therefore also tees its report to .pytest_child_output.log for humans.
+if _missing and jax.local_device_count() != 8:
+    if os.environ.get("W2L_PYTEST_REEXEC"):
+        raise RuntimeError(
+            "XLA_FLAGS did not take effect even after a fresh re-run: "
+            f"{jax.local_device_count()} CPU device(s) visible, need 8"
+        )
+    os.environ["W2L_PYTEST_REEXEC"] = "1"
+    import subprocess
+
+    _log = os.path.join(os.path.dirname(__file__), "..",
+                        ".pytest_child_output.log")
+    with open(_log, "wb") as _f:
+        _proc = subprocess.Popen(
+            [sys.executable, "-m", "pytest", *sys.argv[1:]],
+            env=os.environ, stdout=_f, stderr=subprocess.STDOUT,
+        )
+        _rc = _proc.wait()
+    os._exit(_rc)
 
 # Persistent compilation cache: the big train-step graphs take minutes of
 # cold XLA:CPU compile on a 1-core box, so the repo COMMITS the test cache

@@ -3,6 +3,8 @@ from wav2lip_tpu.convert.torch_import import (
     import_syncnet,
     import_discriminator,
     import_s3fd,
+    import_fan,
+    import_resnet_depth,
     load_torch_state_dict,
 )
 
@@ -11,5 +13,7 @@ __all__ = [
     "import_syncnet",
     "import_discriminator",
     "import_s3fd",
+    "import_fan",
+    "import_resnet_depth",
     "load_torch_state_dict",
 ]

@@ -180,3 +180,69 @@ def import_s3fd(sd: Mapping[str, np.ndarray]) -> Dict:
     for name in ("conv3_3_norm", "conv4_3_norm", "conv5_3_norm"):
         b._set(b.params, (name, "weight"), sd[f"{name}.weight"])
     return b.build()
+
+
+def _fan_conv_block(b: _VarsBuilder, sd, tkey: str, fpath: Tuple[str, ...]):
+    """Reference face_detection ConvBlock (models.py:13-31): bn1..conv3 plus
+    the optional Sequential(BN, ReLU, Conv) downsample at indices 0 and 2."""
+    for i in (1, 2, 3):
+        b.bn(sd, f"{tkey}.bn{i}", fpath + (f"bn{i}",))
+        b.conv(sd, f"{tkey}.conv{i}", fpath + (f"conv{i}",))
+    if f"{tkey}.downsample.0.weight" in sd:
+        b.bn(sd, f"{tkey}.downsample.0", fpath + ("downsample_bn",))
+        b.conv(sd, f"{tkey}.downsample.2", fpath + ("downsample_conv",))
+
+
+def import_fan(sd: Mapping[str, np.ndarray]) -> Dict:
+    """Reference ``FAN`` state_dict → :class:`wav2lip_tpu.models.FAN`
+    variables (face_detection/models.py:145-201; module count inferred from
+    the checkpoint's ``m{i}`` keys)."""
+    sd = strip_module_prefix(sd)
+    b = _VarsBuilder()
+    b.conv(sd, "conv1", ("conv1",))
+    b.bn(sd, "bn1", ("bn1",))
+    for name in ("conv2", "conv3", "conv4"):
+        _fan_conv_block(b, sd, name, (name,))
+    num_modules = 1 + max(
+        int(k[1:].split(".", 1)[0]) for k in sd
+        if k.startswith("m") and k[1:2].isdigit()
+    )
+    for i in range(num_modules):
+        for lvl in (4, 3, 2, 1):
+            _fan_conv_block(b, sd, f"m{i}.b1_{lvl}", (f"m{i}", f"b1_{lvl}"))
+            _fan_conv_block(b, sd, f"m{i}.b2_{lvl}", (f"m{i}", f"b2_{lvl}"))
+            _fan_conv_block(b, sd, f"m{i}.b3_{lvl}", (f"m{i}", f"b3_{lvl}"))
+        _fan_conv_block(b, sd, f"m{i}.b2_plus_1", (f"m{i}", "b2_plus_1"))
+        _fan_conv_block(b, sd, f"top_m_{i}", (f"top_m_{i}",))
+        b.conv(sd, f"conv_last{i}", (f"conv_last{i}",))
+        b.bn(sd, f"bn_end{i}", (f"bn_end{i}",))
+        b.conv(sd, f"l{i}", (f"l{i}",))
+        if i < num_modules - 1:
+            b.conv(sd, f"bl{i}", (f"bl{i}",))
+            b.conv(sd, f"al{i}", (f"al{i}",))
+    return b.build()
+
+
+def import_resnet_depth(sd: Mapping[str, np.ndarray]) -> Dict:
+    """Reference ``ResNetDepth`` state_dict →
+    :class:`wav2lip_tpu.models.ResNetDepth` variables (models.py:204-261).
+    Block counts per layer are inferred from the checkpoint keys; the linear
+    head's (out, in) weight transposes to Flax's (in, out) kernel."""
+    sd = strip_module_prefix(sd)
+    b = _VarsBuilder()
+    b.conv(sd, "conv1", ("conv1",))
+    b.bn(sd, "bn1", ("bn1",))
+    for li in range(1, 5):
+        blocks = 1 + max(int(k.split(".")[1]) for k in sd
+                         if k.startswith(f"layer{li}."))
+        for bi in range(blocks):
+            t, f = f"layer{li}.{bi}", f"layer{li}_{bi}"
+            for i in (1, 2, 3):
+                b.conv(sd, f"{t}.conv{i}", (f, f"conv{i}"))
+                b.bn(sd, f"{t}.bn{i}", (f, f"bn{i}"))
+            if f"{t}.downsample.0.weight" in sd:
+                b.conv(sd, f"{t}.downsample.0", (f, "downsample_conv"))
+                b.bn(sd, f"{t}.downsample.1", (f, "downsample_bn"))
+    b._set(b.params, ("fc", "kernel"), sd["fc.weight"].T)
+    b._set(b.params, ("fc", "bias"), sd["fc.bias"])
+    return b.build()

@@ -264,7 +264,10 @@ class FaceDetectionPipeline:
         side = int(min(max(self.cfg.roi_out, self.cfg.roi_scale * size), m))
         r = int(self.cfg.roi_out)
         f = min(max(1, int(round(side / r))), max(1, m // r))
-        if f * r >= 1.1 * size:
+        # never snap past the frame: on frames smaller than roi_out the
+        # f*r candidate (>= roi_out) would exceed min(h, w), pushing the
+        # window origin negative and silently wrapping the crop slice
+        if f * r >= 1.1 * size and f * r <= m:
             side = f * r
         cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
         x0 = int(round(min(max(cx - side / 2.0, 0), w - side)))
