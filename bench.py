@@ -159,13 +159,16 @@ def main():
     pipe.run(video, wav, os.path.join(tmp, "out.mp4"), temp_dir=tmp)
 
     # best of N: the shared box and the device tunnel both have transient
-    # load; peak throughput is the meaningful capability number
+    # load; peak throughput is the capability number. ALL N wall times are
+    # recorded too (runs_s) so round-over-round deltas are separable from
+    # link weather (the tunnel swings ±30% run to run).
     repeats = int(os.environ.get("W2L_BENCH_REPEATS", "4"))
-    dt, stages = float("inf"), {}
+    dt, stages, runs = float("inf"), {}, []
     for _ in range(max(1, repeats)):
         t0 = time.time()
         pipe.run(video, wav, os.path.join(tmp, "out.mp4"), temp_dir=tmp)
         run_dt = time.time() - t0
+        runs.append(round(run_dt, 3))
         if run_dt < dt:
             dt = run_dt
             stages = {k: round(v, 3)
@@ -181,6 +184,7 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(realtime_x / 5.0, 3),
         "wall_s": round(dt, 3),
+        "runs_s": runs,
         "stages": stages,
     })
 
@@ -200,6 +204,7 @@ def main():
     if os.environ.get("W2L_BENCH_TRAIN", "1") != "0":
         _leg("train_steps_per_sec_gan_b16", _train_bench)
         _leg("train_steps_per_sec_gan_b16_bf16", _train_bench, 8, 16, "bfloat16")
+        _leg("train_e2e_steps_per_sec_gan_b16", _train_e2e_bench, tmp)
 
     # multi-chip scaling legs (SURVEY §2 parallelism): measured the day >1
     # device is visible — the zero-collective data-parallel generator and the
@@ -269,9 +274,25 @@ def _mfu_leg(result):
             jax.jit(lambda v, x: det.apply(v, x)), dv,
             np.zeros((1, 720, 1280, 3), np.float32))
         mfu["s3fd_fwd_gflops_per_frame_720p"] = round(det_fwd / 1e9, 2)
-        ach = result["detect_e2e_fps_720p"] * (det_fwd + gen_fwd) / 1e12
-        mfu["detect_e2e_achieved_tflops"] = round(ach, 3)
-        mfu["detect_e2e_pct_peak"] = round(100 * ach / peak, 2)
+        info = _DETECT_E2E[0]
+        if info:
+            # honest utilization: FLOPs actually dispatched per run
+            # (keyframes + ROI-crop batches + fallbacks + padded generator
+            # batches, from the pipelines' dispatch_stats) over the best
+            # wall. The ROI-tracked default runs the trunk on small crops,
+            # so this is FAR below full-frame-per-frame — by design.
+            flops = (info["detect_flops_per_run"]
+                     + info["gen_flops_per_run"])
+            ach = flops / info["wall_s"] / 1e12
+            mfu["detect_e2e_dispatched_gflops_per_frame"] = round(
+                flops / info["frames"] / 1e9, 2)
+            mfu["detect_e2e_achieved_tflops"] = round(ach, 3)
+            mfu["detect_e2e_pct_peak"] = round(100 * ach / peak, 2)
+        # the reference-equivalent cost this path avoids: its detector runs
+        # the full-frame trunk on every frame (inference.py:68-106)
+        ref = result["detect_e2e_fps_720p"] * (det_fwd + gen_fwd) / 1e12
+        mfu["detect_e2e_ref_equiv_tflops"] = round(ref, 3)
+        mfu["detect_e2e_ref_equiv_pct_peak"] = round(100 * ref / peak, 2)
 
     sps = result.get("train_steps_per_sec_gan_b16_bf16") or result.get(
         "train_steps_per_sec_gan_b16")
@@ -292,9 +313,19 @@ def _detect_e2e_bench(tmp, fps, seconds=4.0, res=720):
     """BASELINE config 2 end-to-end: full S3FD detection + generation +
     composite + encode on a 720p clip (reference inference.py without
     --box). Random detector weights — throughput is weight-independent —
-    so after the full per-frame detector compute the (garbage) boxes are
+    so after the full jitted detector dispatch the (garbage) boxes are
     replaced with the known synthetic-face box; every other stage runs
-    unmodified, with detection overlapping generation in its own thread."""
+    unmodified, with detection overlapping generation in its own thread.
+
+    This leg runs the PRODUCT default config: ``roi_track=True`` + auto
+    downscale, so after the first full-frame keyframe most frames run the
+    trunk on small ROI crops — per-frame device FLOPs are ~1-2% of a
+    full-frame 720p pass, by design. The MFU leg therefore charges the
+    FLOPs actually dispatched (``FaceDetectionPipeline.dispatch_stats``:
+    keyframes + ROI-crop batches + fallbacks, via XLA cost analysis of each
+    program run), NOT full-frame trunk FLOPs x frames; the full-frame
+    number is reported separately as the reference-equivalent work this
+    path avoids."""
     import dataclasses
     import time as _t
 
@@ -349,15 +380,35 @@ def _detect_e2e_bench(tmp, fps, seconds=4.0, res=720):
     # warm into the SAME path as the timed runs: reusing the preallocated
     # sink file keeps its tmpfs pages provisioned (see the primary leg)
     pipe.run(video, wav, os.path.join(tmp, "out720.mp4"), temp_dir=tmp)
-    # best of 3 like the primary leg: the tunneled device link's round-trip
-    # latency swings multiples run-to-run (measured 15-59 f/s on the same
-    # build); peak is the capability number, stalls are link weather
-    dt = float("inf")
-    for _ in range(3):
+    # best of 3 like the primary leg (the tunneled device link's round-trip
+    # latency swings multiples run-to-run); ALL wall times are recorded in
+    # runs so weather is separable from real deltas
+    detector.reset_dispatch_stats()
+    pipe.reset_dispatch_stats()
+    dt, n_runs, runs = float("inf"), 3, []
+    for _ in range(n_runs):
         t0 = _t.time()
         pipe.run(video, wav, os.path.join(tmp, "out720.mp4"), temp_dir=tmp)
-        dt = min(dt, _t.time() - t0)
+        run_dt = _t.time() - t0
+        runs.append(round(run_dt, 3))
+        dt = min(dt, run_dt)
+    RESULT.setdefault("leg_runs_s", {})["detect_e2e_720p"] = runs
+    RESULT["detect_e2e_stages"] = {
+        k: round(v, 3) for k, v in pipe.timings.as_dict().items()
+    }
+    # FLOPs actually dispatched per run (identical work each run: same clip,
+    # same synthetic boxes), detector + generator, for the honest
+    # detect-leg MFU line
+    _DETECT_E2E[0] = {
+        "detect_flops_per_run": detector.dispatched_flops() / n_runs,
+        "gen_flops_per_run": pipe.dispatched_flops() / n_runs,
+        "wall_s": dt,
+        "frames": int(seconds * fps),
+    }
     return round(int(seconds * fps) / dt, 2)
+
+
+_DETECT_E2E = [None]  # set by _detect_e2e_bench, read by _mfu_leg
 
 
 def _e2e_mesh_bench(tmp, video, wav, frames, variables, cfg):
@@ -478,6 +529,89 @@ def _train_bench(steps=8, batch=16, compute_dtype=None, use_mesh=False):
     return round(steps / (_t.time() - t0), 3)
 
 
+def _train_e2e_bench(tmp, steps=8, batch=16):
+    """End-to-end GAN trainer throughput: the full input pipeline —
+    WindowSampler over a synthetic preprocessed dataset (face-crop JPEGs +
+    audio.wav, reference preprocess.py layout) through the threaded
+    PrefetchLoader (JPEG decode, window/mel alignment, mel cache) — feeding
+    per-step device uploads and the jitted GAN train step. Checkpointing
+    excluded. Reported NEXT TO the step-only number
+    (train_steps_per_sec_gan_b16) so input-pipeline stalls are visible: the
+    reference feeds 16 DataLoader workers (hq_wav2lip_train.py:404-410) and
+    BASELINE's '<1 day / ~2 days' anchors are end-to-end wall times.
+    Records a wait/step split in RESULT["train_e2e_stages"] when the input
+    pipeline is the bottleneck."""
+    import time as _t
+
+    import jax
+    import numpy as np
+    import optax
+
+    from fixtures import make_preprocessed_dataset
+    from wav2lip_tpu.config import DEFAULT_CONFIG
+    from wav2lip_tpu.data.dataset import PrefetchLoader, WindowSampler
+    from wav2lip_tpu.models import (
+        QualityDiscriminator,
+        SyncNet,
+        Wav2LipGenerator,
+    )
+    from wav2lip_tpu.train.state import TrainState
+    from wav2lip_tpu.train.steps import make_gan_steps
+
+    T, S = 5, 96
+    root = os.path.join(tmp, "train_ds")
+    dirs = make_preprocessed_dataset(
+        root, num_videos=4, frames_per_video=60, crop_size=S, seconds=2.5
+    )
+    sampler = WindowSampler(dirs, DEFAULT_CONFIG.audio, DEFAULT_CONFIG.model)
+    loader = PrefetchLoader(
+        sampler.sample_wav2lip, batch_size=batch,
+        num_workers=min(4, os.cpu_count() or 1), prefetch=4,
+    )
+
+    key = jax.random.key(0)
+    gen_tx = optax.adam(1e-4, b1=0.5)
+    disc_tx = optax.adam(1e-4, b1=0.5)
+    gen_state = TrainState.create(
+        jax.jit(Wav2LipGenerator().init)(
+            key, np.zeros((1, T, 80, 16, 1), np.float32),
+            np.zeros((1, T, S, S, 6), np.float32)), gen_tx)
+    disc_state = TrainState.create(
+        jax.jit(QualityDiscriminator().init)(
+            key, np.zeros((1, T, S, S, 3), np.float32)), disc_tx)
+    sync_vars = jax.jit(SyncNet().init)(
+        key, np.zeros((1, 80, 16, 1), np.float32),
+        np.zeros((1, S // 2, S, 3 * T), np.float32))
+    train_step, _ = make_gan_steps(gen_tx, disc_tx, donate=True)
+    wt, dwt = np.float32(0.03), np.float32(0.07)
+
+    try:
+        # warmup/compile (excluded), then the timed trainer loop: batch
+        # fetch (input-pipeline wait) -> upload -> step
+        gs, ds, m = train_step(gen_state, disc_state, sync_vars,
+                               jax.device_put(next(loader)), wt, dwt,
+                               use_sync=True)
+        jax.block_until_ready(m)
+        wait_s = 0.0
+        t0 = _t.time()
+        for _ in range(steps):
+            tw = _t.time()
+            host_batch = next(loader)
+            wait_s += _t.time() - tw
+            gs, ds, m = train_step(gs, ds, sync_vars,
+                                   jax.device_put(host_batch), wt, dwt,
+                                   use_sync=True)
+        jax.block_until_ready(m)
+        dt = _t.time() - t0
+    finally:
+        loader.close()
+    RESULT["train_e2e_stages"] = {
+        "input_wait_s_per_step": round(wait_s / steps, 3),
+        "step_plus_upload_s_per_step": round((dt - wait_s) / steps, 3),
+    }
+    return round(steps / dt, 3)
+
+
 def _mel_bench(seconds=10.0, repeats=10):
     """Fused Pallas mel frontend throughput (the reference's audio.py:45-51
     chain as ONE TPU kernel): normalized mel frames produced per second of
@@ -525,11 +659,14 @@ def _detect_bench(tmp, detect_res, fps, n_frames=48):
     det = FaceDetectionPipeline(det_vars, DEFAULT_CONFIG.detect,
                                 batch_size=16)
     det.first_face_boxes(frames[:16])  # compile (excluded)
-    dt = float("inf")
+    dt, runs = float("inf"), []
     for _ in range(3):  # best of 3 — link RTT weather (see _detect_e2e_bench)
         t0 = _t.time()
         det.first_face_boxes(frames)
-        dt = min(dt, _t.time() - t0)
+        run_dt = _t.time() - t0
+        runs.append(round(run_dt, 3))
+        dt = min(dt, run_dt)
+    RESULT.setdefault("leg_runs_s", {})[f"detect_{detect_res}p"] = runs
     return round(n_frames / dt, 2)
 
 

@@ -33,18 +33,32 @@ if _missing:
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
+# A backend initialized BEFORE this conftest ran (sitecustomize importing
+# jax is fine — initializing a client is not) captured the old XLA_FLAGS:
+# BOTH flags above would silently not apply. Detect the stale client
+# directly rather than only via the device count — the count can read 8
+# (flag already present) while the AVX2 ISA cap still failed to stick,
+# invalidating the committed .test_cache on this host (r3 advisor).
+try:
+    from jax._src import xla_bridge as _xb
+
+    _stale_backend = _xb.backends_are_initialized()
+except Exception:  # pragma: no cover — private API moved; fall back
+    _stale_backend = False
+
 jax.config.update("jax_platforms", "cpu")
 
 # XLA reads XLA_FLAGS when a backend CLIENT initializes, so setting the env
 # above works even though sitecustomize imported jax at interpreter startup —
-# unless something already touched a backend, which the device count below
-# detects. Only THEN re-run pytest once with the env preset. The re-run is a
-# last resort because its output is invisible by construction: pytest's
-# fd-level global capture is already active while conftests load, so a child
-# (or exec'd) pytest inherits the capture tmpfile as stdout and the report is
-# discarded when this process exits — only the exit code survives. The child
-# therefore also tees its report to .pytest_child_output.log for humans.
-if _missing and jax.local_device_count() != 8:
+# unless something already touched a backend (detected above, plus the
+# device-count probe below as a belt-and-braces check). Only THEN re-run
+# pytest once with the env preset. The re-run is a last resort because its
+# output is invisible by construction: pytest's fd-level global capture is
+# already active while conftests load, so a child (or exec'd) pytest
+# inherits the capture tmpfile as stdout and the report is discarded when
+# this process exits — only the exit code survives. The child therefore
+# also tees its report to .pytest_child_output.log for humans.
+if _missing and (_stale_backend or jax.local_device_count() != 8):
     if os.environ.get("W2L_PYTEST_REEXEC"):
         raise RuntimeError(
             "XLA_FLAGS did not take effect even after a fresh re-run: "

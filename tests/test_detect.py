@@ -432,6 +432,79 @@ class TestRoiTracking:
         assert None not in out[:4]
         assert out[4] is None
 
+    def test_two_face_score_flip_reanchors_at_keyframe(self):
+        """Multi-face semantics delta of ROI tracking (documented in
+        DetectConfig.roi_track): the reference re-picks the HIGHEST-SCORE
+        face every frame (api.py:69-78), while the tracked path follows the
+        previous face between keyframes. With two faces whose score order
+        flips mid-span, the tracked output must (a) match the reference
+        choice before the flip, (b) diverge for AT MOST roi_refresh_every
+        frames, and (c) re-anchor to the reference's (new) choice at the
+        next keyframe."""
+        from wav2lip_tpu.detect import RoiTracker
+
+        h, w, size = 240, 320, 50
+        ax, ay, bx, by = 30, 60, 230, 120  # face A left, face B right
+        flip_at, refresh = 10, 8
+        n = 30
+        frames = np.zeros((n, h, w, 3), np.uint8)
+        for t in range(n):
+            bright_a, bright_b = (220, 140) if t < flip_at else (140, 220)
+            frames[t, ay : ay + size, ax : ax + size] = bright_a
+            frames[t, by : by + size, bx : bx + size] = bright_b
+
+        def two_face_stub(variables, parts, factor=1):
+            """Score ∝ brightness: >180 → 0.9, (100, 180] → 0.6; boxes
+            returned score-descending (the detector contract)."""
+            x = np.concatenate([np.asarray(q) for q in parts], axis=0)
+            if factor > 1:
+                x = x[:, ::factor, ::factor]
+            total = x.shape[0]
+            boxes = np.zeros((total, 16, 4), np.float32)
+            scores = np.zeros((total, 16), np.float32)
+            num = np.zeros(total, np.int64)
+            for i in range(total):
+                lum = x[i].max(axis=-1)
+                found = []
+                for lo, hi, sc in ((180, 256, 0.9), (100, 180, 0.6)):
+                    ys, xs = np.where((lum > lo) & (lum < hi))
+                    if len(ys) >= 4:
+                        found.append(([xs.min(), ys.min(),
+                                       xs.max() + 1, ys.max() + 1], sc))
+                for k, (b, sc) in enumerate(found):
+                    boxes[i, k] = b
+                    scores[i, k] = sc
+                num[i] = len(found)
+            return boxes, scores, num
+
+        p = self._pipe(roi_refresh_every=refresh)
+        p._jit_detect = two_face_stub
+        tracked = p.first_face_boxes(frames, tracker=RoiTracker())
+        reference = p.first_face_boxes(frames)  # untracked: per-frame argmax
+
+        def which(box):
+            return "A" if box[0] < w // 2 else "B"
+
+        ref_faces = [which(b) for b in reference]
+        got_faces = [which(b) for b in tracked]
+        # the reference path flips exactly at the score flip
+        assert ref_faces == ["A"] * flip_at + ["B"] * (n - flip_at)
+        # (a) identical before the flip
+        assert got_faces[:flip_at] == ref_faces[:flip_at]
+        # (b) divergence bounded by the keyframe cadence
+        diverged = [i for i in range(n) if got_faces[i] != ref_faces[i]]
+        assert diverged, "tracked path unexpectedly flipped mid-span"
+        assert len(diverged) <= refresh
+        assert max(diverged) - min(diverged) < refresh
+        # (c) re-anchored to the reference choice at the next keyframe
+        # (keyframes at 0, refresh+1 cadence: since_refresh hits the limit)
+        first_keyframe_after_flip = next(
+            i for i in range(flip_at, n) if i not in diverged
+        )
+        assert got_faces[first_keyframe_after_flip:] == (
+            ref_faces[first_keyframe_after_flip:]
+        )
+
     def test_periodic_keyframe_refresh(self):
         from wav2lip_tpu.detect import RoiTracker
 

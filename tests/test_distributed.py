@@ -51,8 +51,7 @@ def _expected_batchsum() -> float:
     return total
 
 
-@pytest.mark.slow
-def test_two_process_data_parallel_step(tmp_path):
+def _spawn_workers(tmp_path):
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
@@ -79,6 +78,17 @@ def test_two_process_data_parallel_step(tmp_path):
             p.kill()
         pytest.fail("distributed workers timed out:\n"
                     + "\n---\n".join(o or "" for o in outs))
+    return procs, outs
+
+
+@pytest.mark.slow
+def test_two_process_data_parallel_step(tmp_path):
+    procs, outs = _spawn_workers(tmp_path)
+    if any(p.returncode not in (0, 17) for p in procs):
+        # coordination between two fresh processes on a loaded one-core
+        # host can time out (gloo connect/collective deadlines are wall
+        # clock); a real regression fails both attempts deterministically
+        procs, outs = _spawn_workers(tmp_path)
 
     if any(p.returncode == 17 for p in procs):
         pytest.skip("jax.distributed multiprocess CPU collectives "

@@ -123,6 +123,33 @@ class TestDecodeParity:
             got = transform_points(pts, center, scale, 64.0, invert=invert)
             np.testing.assert_array_equal(got, ref.astype(np.int32))
 
+    def test_transform_fuzz_vs_float32_inverse(self, ref_fan):
+        """Property test for the documented numerics delta: the float64
+        closed-form inverse vs the reference's float32 torch.inverse +
+        truncation (utils.py:84-89). Over random (center, scale, point) the
+        two must agree to within 1 px (the truncation-boundary flip), and
+        disagree only rarely."""
+        r = np.random.default_rng(42)
+        n, mismatches = 400, 0
+        for _ in range(n):
+            center = r.uniform(5.0, 500.0, size=2)
+            scale = float(r.uniform(0.3, 3.0))
+            pts = r.uniform(0.0, 64.0, size=(3, 2))
+            for invert in (False, True):
+                ref = np.stack([
+                    ref_fan["utils"].transform(list(p), center, scale,
+                                               64.0, invert).numpy()
+                    for p in pts
+                ]).astype(np.int64)
+                got = transform_points(pts, center, scale, 64.0,
+                                       invert=invert).astype(np.int64)
+                diff = np.abs(got - ref)
+                assert diff.max() <= 1, (center, scale, pts, got, ref)
+                mismatches += int((diff > 0).sum())
+        # boundary flips are a measure-zero corner case; random inputs
+        # should virtually never land on one
+        assert mismatches <= n * 0.02 * 12, mismatches
+
     def test_crop_matches_reference(self, ref_fan):
         r = np.random.default_rng(6)
         img = r.integers(0, 255, (180, 240, 3), np.uint8)

@@ -187,9 +187,16 @@ class DetectConfig:
     # device->host fetch permanently drops upload bandwidth 1.4 GB/s ->
     # ~30 MB/s, so full-frame per-frame uploads are unshippable). A
     # full-frame detection re-runs every roi_refresh_every frames and
-    # whenever the ROI loses the face, so multi-face "first face" semantics
-    # re-anchor periodically. False = reference-exact full-frame detection
-    # for every frame (eval + preprocess pin this).
+    # whenever the ROI loses the face. MULTI-FACE SEMANTICS DELTA: the
+    # reference re-picks the highest-score face on EVERY frame
+    # (face_detection/api.py:69-78); the tracked path follows the
+    # previously chosen face between keyframes, so when another face
+    # overtakes it in score mid-span the output diverges for at most
+    # roi_refresh_every frames and re-anchors to the reference's choice at
+    # the next keyframe (tests/test_detect.py::
+    # test_two_face_score_flip_reanchors_at_keyframe). False =
+    # reference-exact full-frame detection for every frame (eval +
+    # preprocess pin this).
     roi_track: bool = True
     roi_out: int = 192
     roi_scale: float = 2.2

@@ -54,6 +54,16 @@ def transform_points(points: np.ndarray, center: Sequence[float],
     ``points``: (..., 2) float. Returns int32 like the reference's
     ``.int()`` (truncation toward zero). Forward maps image → crop
     coordinates; ``invert=True`` maps crop/heatmap space back to the image.
+
+    Numerics: the inverse is the float64 CLOSED FORM of the affine, where
+    the reference inverts the 3x3 matrix with ``torch.inverse`` in float32
+    (utils.py:84-89) and then truncates — float32 roundoff at the truncation
+    boundary can flip a coordinate by 1 px for (center, scale) values that
+    land an exact multiple of ``resolution/h`` on an integer. Equality holds
+    everywhere else (fuzz-tested over random centers/scales in
+    tests/test_fan.py::test_transform_fuzz_vs_float32_inverse); parity
+    claims for :func:`crop_face` are exact up to that same ±1 px corner
+    case, not bit-guaranteed for all inputs.
     """
     pts = np.asarray(points, np.float64)
     h = 200.0 * float(scale)
@@ -74,7 +84,10 @@ def crop_face(image: np.ndarray, center: Sequence[float], scale: float,
     """Center+scale face crop (reference utils.py:92-129): zero-pad where
     the crop window leaves the frame, bilinear-resize to ``resolution``.
     The overlap arithmetic reproduces the reference's 1-indexed slicing
-    byte-for-byte so crops (hence landmarks) are parity-comparable."""
+    exactly; corner coordinates come from :func:`transform_points`, whose
+    float64 inverse can differ from the reference's float32 matrix inverse
+    by 1 px at exact-integer boundaries (see its docstring) — crops are
+    parity-comparable up to that corner case."""
     ul = transform_points(np.array([1.0, 1.0]), center, scale,
                           resolution, invert=True)
     br = transform_points(np.array([float(resolution)] * 2), center, scale,
@@ -130,9 +143,12 @@ class LandmarkPipeline:
             x = crops_u8.astype(self.compute_dtype) / 255.0
             hm = self.model.apply(variables, x)[-1]
             if flip:
+                # upstream face_alignment SUMS the flipped heatmaps (no
+                # /2): keep that convention so raw-heatmap magnitudes match
+                # any consumer expecting it; the argmax+sign decode below
+                # is scale-invariant either way
                 hm = hm + flip_heatmaps(
                     self.model.apply(variables, jnp.flip(x, axis=2))[-1])
-                hm = hm / 2.0
             return heatmaps_to_landmarks(hm.astype(jnp.float32))
 
         self._jit_forward = _forward

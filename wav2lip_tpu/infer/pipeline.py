@@ -132,20 +132,35 @@ class _AsyncDecode:
     ``frames`` is the live, growing list shared with the consumers; entries
     are views into the output file (composite is paste-only). Consumers
     gate on :meth:`wait_upto`, never on ``len(frames)``.
+
+    ``view_of=None`` selects the plain BUFFERED variant: frames decode into
+    fresh RAM buffers instead of sink views (used when cyclic reuse rules
+    the in-file path out — output frames will alias source frames). Pair it
+    with ``short_ok=True``: a stream that ends before ``num_out`` frames is
+    then a normal outcome (the consumer cycles over what exists, reference
+    inference.py:121) and :meth:`wait_upto` reports the available count
+    instead of raising a restart.
     """
 
     def __init__(self, pipeline: "LipSyncPipeline", reader, first_frame,
-                 view_of, num_out: int):
+                 view_of, num_out: int, short_ok: bool = False):
         self.pipe = pipeline
         self.reader = reader
         self.view_of = view_of
         self.num_out = num_out
+        self.short_ok = short_ok
         self.frames: List[np.ndarray] = []
         self.short = False
         self.done = False
         self.stop = False  # error-path shutdown (run() cleanup)
         self.error: Optional[BaseException] = None
         self.cond = threading.Condition()
+        # smallest frame count any waiter is currently blocked on — publish
+        # wakes waiters only when it is reached. notify_all on EVERY frame
+        # forces len(frames) context switches per consumer on a one-core
+        # host (each waiter wakes, re-checks, sleeps), which measurably
+        # slowed the decode thread itself
+        self._want: Optional[int] = None
         self.first_frame = first_frame
         self.thread = threading.Thread(target=self._run, daemon=True,
                                        name="w2l-decode-views")
@@ -161,7 +176,9 @@ class _AsyncDecode:
     def _publish(self, frame) -> None:
         with self.cond:
             self.frames.append(frame)
-            self.cond.notify_all()
+            if self._want is not None and len(self.frames) >= self._want:
+                self._want = None  # unmet targets re-register on wake
+                self.cond.notify_all()
 
     def _finish(self, short: bool, error=None) -> None:
         with self.cond:
@@ -170,13 +187,18 @@ class _AsyncDecode:
             self.done = True
             self.cond.notify_all()
 
+    def _view(self, i: int) -> np.ndarray:
+        if self.view_of is not None:
+            return self.view_of(i)
+        return np.empty_like(self.first_frame)  # buffered variant
+
     def _run(self) -> None:
         try:
-            v0 = self.view_of(0)
+            v0 = self._view(0)
             np.copyto(v0, self.first_frame)
             self._publish(v0)
             while len(self.frames) < self.num_out and not self.stop:
-                v = self.view_of(len(self.frames))
+                v = self._view(len(self.frames))
                 with self.pipe.timings("decode"):
                     got = self.reader.read(dst=v)
                 if got is None:
@@ -199,20 +221,26 @@ class _AsyncDecode:
         except BaseException as e:  # noqa: BLE001 — re-raised in wait_upto
             self._finish(short=False, error=e)
 
-    def wait_upto(self, n: int) -> None:
-        """Block until ``min(n, num_out)`` frames are decoded. Raises the
-        decoder's error, or :class:`_ShortStreamRestart` when the stream
-        ended before ``n`` frames (header hint lied)."""
+    def wait_upto(self, n: int) -> int:
+        """Block until ``min(n, num_out)`` frames are decoded; returns the
+        decoded count available (>= the wait target, or the final count on
+        a short stream with ``short_ok``). Raises the decoder's error, or
+        :class:`_ShortStreamRestart` when the stream ended before ``n``
+        frames and short streams are not tolerated (header hint lied while
+        decoding straight into the output sink)."""
         n = min(n, self.num_out)
         with self.cond:
             while len(self.frames) < n and not self.done:
+                if self._want is None or n < self._want:
+                    self._want = n
                 self.cond.wait(_QUEUE_POLL_S)
             if self.error is not None:
                 raise self.error
-            if len(self.frames) < n:  # done early
+            if len(self.frames) < n and not self.short_ok:  # done early
                 raise _ShortStreamRestart(
                     f"decoded {len(self.frames)} < planned {n}"
                 )
+            return len(self.frames)
 
 
 class _AsyncBoxes:
@@ -272,10 +300,25 @@ class _AsyncBoxes:
 
     def _run(self) -> None:
         try:
-            for s in range(0, self.n, self.chunk):
+            s = 0
+            while s < self.n:
                 hi = min(self.n, s + self.chunk)
                 if self.wait_upto is not None:
-                    self.wait_upto(hi)  # frames s..hi-1 decoded
+                    # frames s..hi-1 decoded; a short_ok decoder may report
+                    # fewer — the stream ended and the consumer will cycle
+                    # over the frames that exist (inference.py:121), so
+                    # detection shrinks to match
+                    avail = self.wait_upto(hi)
+                    if avail < hi:
+                        hi = self.n = avail
+                        if hi <= s:
+                            break
+                    else:
+                        # take every frame already decoded: one tracked
+                        # detection call per chunk costs ~one link round
+                        # trip regardless of size, so bigger chunks (when
+                        # the decoder is ahead) mean fewer round trips
+                        hi = min(self.n, max(hi, avail))
                 with self.pipe.timings("detect"):
                     got = self.pipe._raw_padded_boxes(
                         self.frames[s:hi],
@@ -294,6 +337,7 @@ class _AsyncBoxes:
                             for i in range(self.ready, safe)
                         ])
                         self._publish_window(win, safe)
+                s = hi
             if not self.nosmooth:
                 full = smooth_boxes(np.asarray(self.raw), T=self.T)
                 self._publish(full, self.n)
@@ -364,6 +408,36 @@ class LipSyncPipeline:
         self.vars = put_tree(self.vars, mesh=self.mesh)
         self._jit_generate = jax.jit(self._generate_fn)
         self.timings = StageTimer()  # per-stage wall time of the last run
+        # (input shapes) -> dispatch count for every jitted generator call,
+        # so FLOPs actually dispatched (incl. batch padding) are exactly
+        # reconstructable for utilization accounting (bench.py MFU leg)
+        self.dispatch_stats: dict = {}
+
+    def reset_dispatch_stats(self) -> None:
+        self.dispatch_stats = {}
+
+    def dispatched_flops(self) -> float:
+        """Analytic FLOPs of every generator program dispatched since the
+        last ``reset_dispatch_stats``: XLA cost analysis of each distinct
+        input-shape program times its call count (cache-hit lowers — the
+        programs just ran)."""
+        import numpy as _np
+
+        total = 0.0
+        for (face_shapes, mel_shape, starts_shape), count in (
+                self.dispatch_stats.items()):
+            mel = jax.ShapeDtypeStruct(mel_shape, _np.float32)
+            starts = jax.ShapeDtypeStruct(starts_shape, _np.int32)
+            faces = tuple(
+                jax.ShapeDtypeStruct(s, _np.uint8) for s in face_shapes
+            )
+            ca = self._jit_generate.lower(
+                self.vars, mel, starts, faces
+            ).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            total += float(ca["flops"]) * count
+        return total
 
     # -- device step ---------------------------------------------------------
 
@@ -611,6 +685,20 @@ class LipSyncPipeline:
                     async_decode = _AsyncDecode(self, reader, first_frame,
                                                 view_of, num_out)
                     frames = async_decode.frames
+                elif (reader is not None and not static
+                        and not skip_if_short and not _force_buffered
+                        and self.detector is not None
+                        and icfg.box[0] == -1):
+                    # plain buffered detector path (cycling possible or no
+                    # in-place sink): decode still overlaps detection via a
+                    # producer thread, into RAM buffers instead of sink
+                    # views. short_ok — a stream that ends early is the
+                    # normal cycling case here, not a restart
+                    async_decode = _AsyncDecode(self, reader, first_frame,
+                                                view_of=None,
+                                                num_out=num_out,
+                                                short_ok=True)
+                    frames = async_decode.frames
                 # static mode only ever touches frame 0 — skip the rest of
                 # the decode (the reference decodes everything regardless,
                 # inference.py:190-213)
@@ -633,7 +721,14 @@ class LipSyncPipeline:
                     else:
                         with self.timings("decode"):
                             frames.extend(reader)
-                est_gb = len(frames) * first_frame.nbytes / 1e9
+                # buffered-async decode: the list is still growing; size the
+                # warning from the plan (header hint capped at the output
+                # count) instead of the racing live length
+                n_planned = len(frames)
+                if async_decode is not None and async_decode.view_of is None:
+                    n_planned = (min(hinted_count, num_out)
+                                 if hinted_count > 0 else num_out)
+                est_gb = n_planned * first_frame.nbytes / 1e9
                 if not frames_in_file and est_gb > icfg.max_buffer_gb:
                     warnings.warn(
                         f"buffering {est_gb:.1f} GB of frames (needs random "
@@ -670,6 +765,11 @@ class LipSyncPipeline:
                     frames, box_of, static, num_out,
                     in_place=frames_in_file,
                     n_frames=(num_out if async_decode is not None else None),
+                    wait_avail=(
+                        async_decode.wait_upto
+                        if (async_decode is not None
+                            and async_decode.view_of is None) else None
+                    ),
                 )
             else:
                 y1, y2, x1, x2 = icfg.box
@@ -736,7 +836,8 @@ class LipSyncPipeline:
 
     def _materialized_source(self, frames, box_of, static: bool,
                              num_out: int, in_place: bool = False,
-                             n_frames: Optional[int] = None):
+                             n_frames: Optional[int] = None,
+                             wait_avail=None):
         """Yield FrameCrops from a materialized frame list (cyclic reuse
         ``i % len(frames)``, inference.py:121). ``box_of(idx)`` supplies the
         face box — possibly blocking on the async detector. In static mode
@@ -745,18 +846,29 @@ class LipSyncPipeline:
         (one per output, no cycling — see run()'s ``frames_in_file``), so
         composite needs only the mouth paste. ``n_frames``: planned length
         of a still-growing (async-decoded) list — box_of(idx) is consulted
-        FIRST and its readiness implies frames[idx] is decoded."""
+        FIRST and its readiness implies frames[idx] is decoded.
+        ``wait_avail``: the live decoder's ``wait_upto`` for the buffered
+        async variant, where the stream may end short of the plan and the
+        source then cycles over the frames that exist; the in-file variant
+        raises its restart from the same call. A cycled frame may be
+        consumed again, so those outputs never own their frame."""
         def gen():
             n = len(frames) if n_frames is None else n_frames
             owns = num_out <= n  # every source frame used at most once
             for i in range(num_out):
                 if static:
                     yield FrameCrop(None, box_of(0), False, index=i)
+                    continue
+                if wait_avail is not None:
+                    avail = wait_avail(i + 1)
+                    idx = i if i < avail else i % avail
+                    owns_i = in_place  # buffered-async may cycle any frame
                 else:
                     idx = i % n
-                    box = box_of(idx)  # blocks until detect → decode caught up
-                    yield FrameCrop(frames[idx], box, owns, index=i,
-                                    in_place=in_place)
+                    owns_i = owns
+                box = box_of(idx)  # blocks until detect → decode caught up
+                yield FrameCrop(frames[idx], box, owns_i, index=i,
+                                in_place=in_place)
         return gen()
 
     def _streaming_source(self, reader, first_frame, coords, num_out: int,
@@ -904,6 +1016,20 @@ class LipSyncPipeline:
                  mux: bool) -> str:
         icfg = self.cfg.infer
         size = self.img_size
+        # clip-length-adaptive dispatch granularity: a short clip split into
+        # one user-sized batch serializes the whole pipeline (generation
+        # waits on the LAST box, composite waits on the whole batch), so the
+        # dispatch batch shrinks until ≥4 batches flow through the stage
+        # threads. Power-of-two buckets (min 16) keep the compiled-graph
+        # count small; the user batch (reference --wav2lip_batch_size) stays
+        # the cap, and mesh runs keep it exactly (shard divisibility).
+        B = self.batch_size
+        if self.mesh is None and num_out > 0:
+            target = max(16, -(-num_out // 4))
+            p = 16
+            while p < target:
+                p *= 2
+            B = min(B, p)
 
         # whole-clip mel: ONE upload per run; batches carry only the int32
         # window starts (the 16-wide windows are gathered in-graph)
@@ -962,6 +1088,9 @@ class LipSyncPipeline:
                     face_parts = tuple(put_sharded(faces, self._streams))
                 else:  # static: already-device (1,...) crop
                     face_parts = (faces,)
+            key = (tuple(tuple(p.shape) for p in face_parts),
+                   tuple(mel_dev.shape), tuple(starts_dev.shape))
+            self.dispatch_stats[key] = self.dispatch_stats.get(key, 0) + 1
             out = self._jit_generate(self.vars, mel_dev, starts_dev,
                                      face_parts)
             # start the D2H copy NOW (it queues behind the compute): by the
@@ -1177,7 +1306,7 @@ class LipSyncPipeline:
         stopped_early = False
         try:
             while produced < num_out and not errors:
-                n = min(self.batch_size, num_out - produced)
+                n = min(B, num_out - produced)
                 crops: List[FrameCrop] = []
                 with self.timings("prep"):
                     face_batch = None
@@ -1191,7 +1320,7 @@ class LipSyncPipeline:
                         if c.frame is not None:
                             if face_batch is None:
                                 face_batch = np.zeros(
-                                    (self.batch_size, size, size, 3), np.uint8
+                                    (B, size, size, 3), np.uint8
                                 )
                             if c.face96 is not None:
                                 face_batch[j] = c.face96
@@ -1222,7 +1351,7 @@ class LipSyncPipeline:
                     else:
                         faces_in = face_batch
                     # padding rows gather window 0; discarded on the host
-                    starts_b = np.zeros(self.batch_size, np.int32)
+                    starts_b = np.zeros(B, np.int32)
                     starts_b[: len(crops)] = (
                         starts[produced : produced + len(crops)]
                     )
