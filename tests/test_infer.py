@@ -344,8 +344,14 @@ class TestDetectorInference:
         assert corner.max() <= 6
         assert np.abs(frames[3].astype(int) - src[3].astype(int)).max() > 16
 
-    def test_short_header_restarts_buffered(self, gen_vars, tmp_path,
-                                            monkeypatch, shm_dir):
+    def test_short_header_cycles_in_place(self, gen_vars, tmp_path,
+                                          monkeypatch, shm_dir):
+        """A container header that overestimates the frame count no longer
+        restarts the run: the async decode-into-sink path is short_ok and
+        cycled outputs reuse composited slots (FrameCrop.cycle_of) — the
+        output still has one frame per mel chunk, with no warning."""
+        import warnings as _warnings
+
         import wav2lip_tpu.infer.pipeline as P
 
         video = make_video(str(tmp_path / "v.mp4"), num_frames=20,
@@ -353,8 +359,7 @@ class TestDetectorInference:
         wav = make_wav(str(tmp_path / "a.wav"), seconds=1.2)
 
         class LyingReader(P.VideoFrameReader):
-            """Reports far more frames than the stream holds — the async
-            decode-into-sink plan must detect this and re-run buffered."""
+            """Reports far more frames than the stream holds."""
 
             def __init__(self, *a, **k):
                 super().__init__(*a, **k)
@@ -369,15 +374,154 @@ class TestDetectorInference:
         pipe = LipSyncPipeline(gen_vars, detector=self._detector(),
                                config=cfg)
         out = os.path.join(shm_dir, "o.mp4")
-        from wav2lip_tpu.io.video import ram_backed_bytes_free
-
-        expect_restart = ram_backed_bytes_free(out) > (1 << 24)
-        if expect_restart:
-            with pytest.warns(UserWarning, match="re-running buffered"):
-                pipe.run(video, wav, out, temp_dir=shm_dir)
-        else:  # no RAM-backed sink → buffered from the start, no restart
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")  # no restart/buffer warnings
             pipe.run(video, wav, out, temp_dir=shm_dir)
         frames = read_all_frames(out)
         # 1.2 s audio > 0.8 s video: output cycles the 20 source frames up
         # to the mel chunk count
         assert len(frames) > 20
+
+    def test_cycled_in_place_matches_buffered(self, gen_vars, tmp_path,
+                                              shm_dir):
+        """Byte-parity proof for FrameCrop.cycle_of: audio longer than the
+        clip, rendered (a) through the in-place sink (cycled outputs copy
+        composited slots and re-paste) and (b) fully RAM-buffered
+        (_force_buffered, reference-style cycling over pristine frames).
+        The written containers must be byte-identical — the paste rect
+        fully overwrites the only pixels where a composited slot differs
+        from the original frame, and the generator's crop for a cycled
+        output is served from the cache of the ORIGINAL crop."""
+        import filecmp
+
+        video = make_video(str(tmp_path / "v.mp4"), num_frames=20,
+                           fps=25.0, w=128, h=128)
+        wav = make_wav(str(tmp_path / "a.wav"), seconds=1.4)
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG,
+            infer=dataclasses.replace(DEFAULT_CONFIG.infer,
+                                      wav2lip_batch_size=16),
+        )
+        pipe = LipSyncPipeline(gen_vars, detector=self._detector(),
+                               config=cfg)
+        out_a = os.path.join(shm_dir, "inplace.mp4")
+        out_b = os.path.join(shm_dir, "buffered.mp4")
+        pipe.run(video, wav, out_a, temp_dir=os.path.join(shm_dir, "ta"))
+        pipe.run(video, wav, out_b, temp_dir=os.path.join(shm_dir, "tb"),
+                 _force_buffered=True)
+        n_src = len(read_all_frames(video))
+        assert len(read_all_frames(out_a)) > n_src  # cycling did happen
+        assert filecmp.cmp(out_a, out_b, shallow=False)
+
+
+class TestParallelDecode:
+    """N-way banded decode into the preallocated sink (_ParallelDecode):
+    byte-parity with the serial decoder on both the box path and the
+    detector path, including a lying container header (short bands cap the
+    prefix → cycling). Workers are forced to 2 so the tests exercise the
+    banded path on any host (auto mode keeps 1-core hosts serial)."""
+
+    @pytest.fixture()
+    def shm_dir(self, tmp_path):
+        import shutil
+        import tempfile
+
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+            d = tempfile.mkdtemp(prefix="w2l_test_", dir="/dev/shm")
+            yield d
+            shutil.rmtree(d, ignore_errors=True)
+        else:
+            yield str(tmp_path / "shm")
+
+    def _run_pair(self, pipe_of, video, wav, shm_dir, names=("p", "s")):
+        import filecmp
+
+        outs = []
+        for name, workers in zip(names, (2, 1)):
+            out = os.path.join(shm_dir, f"{name}.mp4")
+            pipe_of(workers).run(video, wav, out,
+                                 temp_dir=os.path.join(shm_dir, "t" + name))
+            outs.append(out)
+        assert filecmp.cmp(outs[0], outs[1], shallow=False)
+        return outs[0]
+
+    def test_box_path_parity(self, gen_vars, tmp_path, shm_dir):
+        video = make_video(str(tmp_path / "v.mp4"), num_frames=40,
+                           fps=25.0, w=128, h=128)
+        wav = make_wav(str(tmp_path / "a.wav"), seconds=1.5)
+
+        def pipe_of(workers):
+            return LipSyncPipeline(
+                gen_vars,
+                config=box_config(decode_workers=workers),
+            )
+
+        out = self._run_pair(pipe_of, video, wav, shm_dir)
+        frames = read_all_frames(out)
+        assert len(frames) >= 30  # 1.5 s at 25 fps, within header count
+
+    def test_detector_path_parity(self, gen_vars, tmp_path, shm_dir):
+        from fixtures import pixel_stub_detector
+        from wav2lip_tpu.detect import FaceDetectionPipeline
+
+        video = make_video(str(tmp_path / "v.mp4"), num_frames=40,
+                           fps=25.0, w=128, h=128)
+        wav = make_wav(str(tmp_path / "a.wav"), seconds=1.5)
+
+        def pipe_of(workers):
+            det = FaceDetectionPipeline(
+                {"params": {"w": np.zeros((1,), np.float32)}}, batch_size=8
+            )
+            det._jit_detect = pixel_stub_detector
+            cfg = dataclasses.replace(
+                DEFAULT_CONFIG,
+                infer=dataclasses.replace(DEFAULT_CONFIG.infer,
+                                          wav2lip_batch_size=16,
+                                          decode_workers=workers),
+            )
+            return LipSyncPipeline(gen_vars, detector=det, config=cfg)
+
+        self._run_pair(pipe_of, video, wav, shm_dir)
+
+    def test_short_header_parallel_cycles(self, gen_vars, tmp_path,
+                                          monkeypatch, shm_dir):
+        """Header overestimates: one band hits end-of-stream, the decoded
+        prefix caps there, and outputs cycle — identical to the serial
+        short path."""
+        import wav2lip_tpu.infer.pipeline as P
+
+        video = make_video(str(tmp_path / "v.mp4"), num_frames=32,
+                           fps=25.0, w=128, h=128)
+        wav = make_wav(str(tmp_path / "a.wav"), seconds=1.8)  # 45 outputs
+
+        class LyingReader(P.VideoFrameReader):
+            def __init__(self, *a, **k):
+                super().__init__(*a, **k)
+                self.approx_frame_count += 60
+
+        monkeypatch.setattr(P, "VideoFrameReader", LyingReader)
+
+        def pipe_of(workers):
+            return LipSyncPipeline(
+                gen_vars,
+                config=box_config(decode_workers=workers),
+            )
+
+        out = self._run_pair(pipe_of, video, wav, shm_dir)
+        assert len(read_all_frames(out)) > 32  # cycled past the source
+
+    def test_seek_failure_falls_back_serial(self, gen_vars, tmp_path,
+                                            monkeypatch, shm_dir):
+        import wav2lip_tpu.infer.pipeline as P
+
+        video = make_video(str(tmp_path / "v.mp4"), num_frames=40,
+                           fps=25.0, w=128, h=128)
+        wav = make_wav(str(tmp_path / "a.wav"), seconds=1.5)
+
+        monkeypatch.setattr(P.VideoFrameReader, "seek",
+                            lambda self, i: False)
+        pipe = LipSyncPipeline(gen_vars,
+                               config=box_config(decode_workers=4))
+        out = os.path.join(shm_dir, "fb.mp4")
+        pipe.run(video, wav, out, temp_dir=os.path.join(shm_dir, "tf"))
+        assert len(read_all_frames(out)) >= 30

@@ -149,6 +149,15 @@ class InferConfig:
     # always when detection/static/cycling needs random access); above it the
     # pipeline streams the decode and frees frames after compositing
     max_buffer_gb: float = 4.0
+    # N-way banded decode into the preallocated in-place sink: the clip
+    # splits into N contiguous frame ranges, each decoded by its own
+    # seeked VideoFrameReader straight into its band of mmap'd output
+    # slots (no two workers share a byte — the container preallocates
+    # every frame's offset). 0 = auto: min(4, cpu_count - 1), so a
+    # one-core host keeps the single threaded reader; 1 = always serial.
+    # Engages only when the container header is trusted (hint >= outputs)
+    # and the backend seeks frame-accurately (probed per band at open).
+    decode_workers: int = 0
 
 
 @dataclass(frozen=True)

@@ -117,6 +117,21 @@ class VideoFrameReader:
                 return
             yield frame
 
+    def seek(self, frame_idx: int) -> bool:
+        """Position the decoder so the next :meth:`read` returns frame
+        ``frame_idx``. Returns False when the backend cannot seek (or lands
+        elsewhere) — callers must then fall back to sequential decode.
+
+        cv2's ffmpeg backend implements CAP_PROP_POS_FRAMES by seeking to
+        the preceding keyframe and decoding forward, so the position is
+        frame-accurate for the container/codec set this package reads and
+        writes (mp4/avi; h264/mpeg4/MJPG/raw). The get() round-trip below
+        rejects backends that only land on a nearby keyframe."""
+        ok = self._cap.set(cv2.CAP_PROP_POS_FRAMES, float(frame_idx))
+        return bool(ok) and int(
+            self._cap.get(cv2.CAP_PROP_POS_FRAMES)
+        ) == int(frame_idx)
+
     def close(self) -> None:
         self._cap.release()
 
