@@ -207,7 +207,15 @@ class DetectConfig:
     # reference-exact full-frame detection for every frame (eval +
     # preprocess pin this).
     roi_track: bool = True
-    roi_out: int = 192
+    # ROI crop resolution: 128 measured best end-to-end on the axon tunnel
+    # (A/B on the 720p detect leg, best-of-4: 192² 96.2 f/s, 128² 138.7,
+    # 96² 112.1 — upload bytes shrink (192²=110 KB/frame → 128²=48 KB) but
+    # 96² pays more host INTER_AREA time than it saves on the link). Box
+    # coordinates quantize at the ROI scale (≤6 px at 720p); consumed by
+    # the pads + 5-frame smoothing + 96² crop resize downstream
+    # (inference.py:59-66,121-154). Faces in the window stay ≥ roi_out /
+    # roi_scale ≈ 58 px — far above S3FD's smallest anchor stride.
+    roi_out: int = 128
     roi_scale: float = 2.2
     roi_refresh_every: int = 120
     # frames per dispatched ROI sub-chunk. Tracked detection is speculative:

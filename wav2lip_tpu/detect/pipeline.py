@@ -290,29 +290,50 @@ class FaceDetectionPipeline:
     def _roi_window(self, box, h: int, w: int) -> Tuple[int, int, int]:
         """Square ROI (x0, y0, side) around ``box``, clamped in-frame.
 
-        The side snaps to an integer multiple of ``roi_out`` whenever the
-        snapped window still covers the face with margin (≥1.1× its size):
-        cv2's INTER_AREA has a fast path for integer shrink factors
-        (measured 3-4× cheaper per frame than the general kernel at these
-        sizes), and ``side == roi_out`` skips the resize outright. A face
-        too large for any multiple keeps the exact clamped side — a window
-        smaller than the face would shed every frame into the full-frame
-        fallback, which costs far more than the slower resize."""
+        The side snaps to an integer multiple of ``roi_out`` — cv2's
+        INTER_AREA has a fast path for integer shrink factors (measured
+        3-4× cheaper per frame than the general kernel at these sizes), and
+        ``side == roi_out`` skips the resize outright. The multiple chosen
+        is the smallest with ``side ≥ roi_scale × face`` — the speculative
+        span reuses ONE window for up to ``roi_refresh_every`` frames, so
+        the margin around the face is the motion budget; snapping down to
+        a barely-covering window (an earlier 1.1× rule) let a face walking
+        ~2 px/frame clip the window edge mid-span. When the frame can't
+        fit that multiple, the largest in-frame multiple still ≥1.1× the
+        face is used; a face too large for any multiple keeps the exact
+        clamped side — a window smaller than the face would shed every
+        frame into the full-frame fallback, which costs far more than the
+        slower resize."""
         x1, y1, x2, y2 = box
         size = max(x2 - x1, y2 - y1)
         m = min(h, w)
         side = int(min(max(self.cfg.roi_out, self.cfg.roi_scale * size), m))
         r = int(self.cfg.roi_out)
-        f = min(max(1, int(round(side / r))), max(1, m // r))
-        # never snap past the frame: on frames smaller than roi_out the
-        # f*r candidate (>= roi_out) would exceed min(h, w), pushing the
-        # window origin negative and silently wrapping the crop slice
-        if f * r >= 1.1 * size and f * r <= m:
+        f = min(-(-int(self.cfg.roi_scale * size) // r), m // r)
+        if f >= 1 and f * r >= 1.1 * size:
             side = f * r
         cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
         x0 = int(round(min(max(cx - side / 2.0, 0), w - side)))
         y0 = int(round(min(max(cy - side / 2.0, 0), h - side)))
         return x0, y0, side
+
+    def _box_clips_roi(self, rb, x0: int, y0: int, side: int,
+                       h: int, w: int, eps: float = 1.0) -> bool:
+        """True when a crop-coordinate detection touches a window edge that
+        is INTERIOR to the frame — the face likely extends past the stale
+        speculative window (it moved since the window was placed), so the
+        clipped box under-covers it and the caller re-detects full-frame.
+        Window edges lying on the frame boundary are exempt: a face near
+        the frame border always touches those, and the full frame could
+        not see past them either."""
+        r = float(self.cfg.roi_out)
+        bx1, by1, bx2, by2 = (float(v) for v in rb[:4])
+        return (
+            (x0 > 0 and bx1 <= eps)
+            or (y0 > 0 and by1 <= eps)
+            or (x0 + side < w and bx2 >= r - eps)
+            or (y0 + side < h and by2 >= r - eps)
+        )
 
     def _detect_crops(self, crops: np.ndarray) -> List[Optional[np.ndarray]]:
         """Highest-score box per crop (crop coordinates; None = no face) in
@@ -474,6 +495,13 @@ class FaceDetectionPipeline:
             for k0, k1, handles in pending:
                 roi_boxes = self._fetch_crop_boxes(handles, k1 - k0)
                 for k, rb in zip(range(k0, k1), roi_boxes):
+                    if rb is not None and self._box_clips_roi(
+                            rb, x0, y0, side, h, w):
+                        # detection clamped at a stale window's interior
+                        # edge: the face moved partly out — the clipped box
+                        # under-covers it, so re-detect this frame
+                        # full-frame (and re-anchor the track)
+                        rb = None
                     if rb is None:
                         # lost in ROI — full-frame fallback for this frame
                         fb = self._detect_fullframe_one(

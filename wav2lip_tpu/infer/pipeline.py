@@ -489,7 +489,12 @@ class _AsyncBoxes:
         try:
             s = 0
             while s < self.n:
-                hi = min(self.n, s + self.chunk)
+                # first chunk small: boxes for the opening frames publish
+                # after ~16 decodes instead of a full chunk, so prep/
+                # generation start while the clip is still decoding; later
+                # chunks grow to the configured size (and beyond, to
+                # whatever is already decoded — see below)
+                hi = min(self.n, s + (16 if s == 0 else self.chunk))
                 if self.wait_upto is not None:
                     # frames s..hi-1 decoded; a short_ok decoder may report
                     # fewer — the stream ended and the consumer will cycle
