@@ -521,3 +521,62 @@ class TestRoiTracking:
         p.first_face_boxes(frames, tracker=RoiTracker())
         fulls = sum(1 for s in seen if s == (240, 320))
         assert fulls == 4  # frames 0, 6, 12, 18 — re-anchor every 5 tracked
+
+    def test_roi_window_snaps_with_motion_margin(self):
+        """Window sizing (_roi_window): the snapped side is the smallest
+        roi_out multiple >= roi_scale x face (capped in-frame), never the
+        barely-covering multiple — the speculative span reuses one window
+        for a whole keyframe gap, so the margin is the motion budget."""
+        p = self._pipe(roi_out=128, roi_scale=2.2)
+        # face 60 px in a 600x800 frame: 2.2x60=132 -> smallest multiple
+        # of 128 that covers it is 256, and the frame fits it
+        x0, y0, side = p._roi_window((100, 100, 160, 160), 600, 800)
+        assert side == 256
+        assert (x0, y0) == (2, 2)  # centered on (130, 130)
+        # face 360 px in 720p: 2.2x needs 792 -> 7 multiples, frame caps at
+        # 5 (640), still >= 1.1x face -> snapped
+        _, _, side = p._roi_window((200, 100, 560, 460), 720, 1280)
+        assert side == 640
+        # face too large for any multiple: exact clamped side
+        _, _, side = p._roi_window((0, 0, 230, 230), 240, 320)
+        assert side == 240
+
+    def test_edge_clipped_box_triggers_fallback(self):
+        """A detection clamped at an interior window edge (the face moved
+        partly out of the stale window) must re-detect full-frame, not
+        return the clipped box (_box_clips_roi)."""
+        p = self._pipe(roi_out=128)
+        # interior edges: window (10, 10, side 128) inside 600x800
+        clips = lambda rb: p._box_clips_roi(rb, 10, 10, 128, 600, 800)
+        assert not clips((30.0, 30.0, 90.0, 90.0))      # interior box
+        assert clips((0.5, 30.0, 90.0, 90.0))           # left edge
+        assert clips((30.0, 30.0, 127.5, 90.0))         # right edge
+        assert clips((30.0, 0.2, 90.0, 90.0))           # top edge
+        assert clips((30.0, 30.0, 90.0, 127.9))         # bottom edge
+        # window edges that lie ON the frame boundary are exempt — a face
+        # near the border always touches them
+        assert not p._box_clips_roi((0.5, 30.0, 90.0, 90.0),
+                                    0, 10, 128, 600, 800)
+        assert not p._box_clips_roi((30.0, 30.0, 127.9, 90.0),
+                                    800 - 128, 10, 128, 600, 800)
+
+    def test_walking_face_stays_correct_past_window(self):
+        """A face that outruns the speculative window degrades to
+        slow-but-correct: every post-exit frame falls back to full-frame
+        detection, so boxes keep tracking the truth (no silent clipping).
+        Guards the regression the 1.1x snap rule allowed."""
+        from wav2lip_tpu.detect import RoiTracker
+
+        h, w, size, n = 240, 320, 60, 40
+        frames = np.zeros((n, h, w, 3), np.uint8)
+        truth = []
+        for t in range(n):
+            x, y = 30 + 4 * t, 90  # 4 px/frame: exits any in-frame window
+            frames[t, y : y + size, x : x + size] = 200
+            truth.append((x, y, x + size, y + size))
+        p = self._pipe()
+        out = p.first_face_boxes(frames, tracker=RoiTracker())
+        assert None not in out
+        err = np.abs(np.asarray(out, np.float64)
+                     - np.asarray(truth, np.float64)).max()
+        assert err <= 3.0, err
