@@ -380,12 +380,15 @@ def _detect_e2e_bench(tmp, fps, seconds=4.0, res=720):
     # warm into the SAME path as the timed runs: reusing the preallocated
     # sink file keeps its tmpfs pages provisioned (see the primary leg)
     pipe.run(video, wav, os.path.join(tmp, "out720.mp4"), temp_dir=tmp)
-    # best of 3 like the primary leg (the tunneled device link's round-trip
+    # best of N like the primary leg (the tunneled device link's round-trip
     # latency swings multiples run-to-run); ALL wall times are recorded in
-    # runs so weather is separable from real deltas
+    # runs so weather is separable from real deltas. Warm runs are <1 s, so
+    # a couple extra repeats is cheap insurance against a stalled-tunnel
+    # window landing on the one round-end record.
     detector.reset_dispatch_stats()
     pipe.reset_dispatch_stats()
-    dt, n_runs, runs = float("inf"), 3, []
+    n_runs = int(os.environ.get("W2L_BENCH_DETECT_REPEATS", "5"))
+    dt, runs = float("inf"), []
     for _ in range(n_runs):
         t0 = _t.time()
         pipe.run(video, wav, os.path.join(tmp, "out720.mp4"), temp_dir=tmp)

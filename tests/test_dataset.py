@@ -38,7 +38,8 @@ class TestSyncnetSampling:
         assert faces.shape == (48, 96, 15)
         assert mel.shape == (80, 16)
         assert y.shape == (1,)
-        assert 0.0 <= faces.min() and faces.max() <= 1.0
+        # pixels ship as uint8; the jitted steps cast to f32/255 on device
+        assert faces.dtype == np.uint8
         assert y[0] in (0.0, 1.0)
 
     def test_labels_both_classes(self, dataset):
@@ -64,8 +65,11 @@ class TestWav2LipSampling:
         assert b["indiv_mels"].shape == (5, 80, 16, 1)
         assert b["mel"].shape == (80, 16)
         assert b["gt"].shape == (5, 96, 96, 3)
+        # pixels ship as uint8 (device casts to f32/255); mels stay f32
+        assert b["x"].dtype == np.uint8 and b["gt"].dtype == np.uint8
+        assert b["mel"].dtype == np.float32
         # masked channels: lower half of first 3 channels must be zero
-        assert np.all(b["x"][:, 48:, :, :3] == 0.0)
+        assert np.all(b["x"][:, 48:, :, :3] == 0)
         # upper half of masked == upper half of gt
         np.testing.assert_array_equal(b["x"][:, :48, :, :3], b["gt"][:, :48])
 

@@ -263,6 +263,8 @@ class TestInferCLI:
             "--outfile", out,
             "--box", "20", "108", "20", "108",
             "--wav2lip_batch_size", "16",
+            "--decode_workers", "2",  # exercises flag plumbing; the pipe
+            # falls back to the serial reader when banding can't apply
             "--temp_dir", str(tmp_path / "t5"),
         ])
         assert rc == 0

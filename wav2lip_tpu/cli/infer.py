@@ -66,6 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "120 frames + automatic full-frame fallback when "
                         "the ROI loses the face). 0 = full-frame detection "
                         "for every frame (reference-exact)")
+    p.add_argument("--decode_workers", type=int, default=0,
+                   help="decode the input container with N parallel "
+                        "frame-banded readers (needs a seekable backend "
+                        "and a RAM-backed in-place output). 0 = auto "
+                        "(min(4, cores-1); serial on 1-core hosts), "
+                        "1 = force the single threaded reader")
     p.add_argument("--trace_dir", default=None,
                    help="capture a jax.profiler device trace here")
     p.add_argument("--data_parallel", action="store_true", default=False,
@@ -99,6 +105,7 @@ def main(argv=None) -> int:
             box=tuple(args.box),
             rotate=args.rotate,
             nosmooth=args.nosmooth,
+            decode_workers=args.decode_workers,
         ),
         detect=dataclasses.replace(
             cfg.detect, downscale=args.detect_downscale,

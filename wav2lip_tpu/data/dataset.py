@@ -136,11 +136,17 @@ class WindowSampler:
     # -- samples ---------------------------------------------------------------
 
     def sample_syncnet(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """→ (faces (48, 96, 15) float32, mel (80, 16) float32, y (1,) float32).
+        """→ (faces (48, 96, 15) uint8, mel (80, 16) float32, y (1,) float32).
 
         Coin-flip between the aligned window (y=1) and a mismatched window
         from the same video (y=0) (color_syncnet_train.py:80-87); face input
         is the lower half with T frames stacked on channels, time-major.
+
+        Pixels ship as uint8: the jitted steps cast to f32/255 on device
+        (within 1 ulp of the reference's host-side ``img / 255.``,
+        color_syncnet_train.py:120 — see train/steps.py ``_as_unit``) so the
+        host→device copy moves 4x fewer bytes — the end-to-end trainer's
+        wall on thin links.
         """
         T = self.mcfg.syncnet_T
         size = self.mcfg.img_size
@@ -177,14 +183,17 @@ class WindowSampler:
                 size // 2, size, T * 3
             )
             return (
-                faces.astype(np.float32) / 255.0,
+                np.ascontiguousarray(faces),  # uint8; device casts to f32/255
                 mel.T.astype(np.float32),
                 np.asarray([y], np.float32),
             )
 
     def sample_wav2lip(self):
-        """→ dict with x (T,96,96,6), indiv_mels (T,80,16,1), mel (80,16),
-        gt (T,96,96,3) — reference wav2lip_train.py:111-164 semantics."""
+        """→ dict with x (T,96,96,6) uint8, indiv_mels (T,80,16,1) f32,
+        mel (80,16) f32, gt (T,96,96,3) uint8 — reference
+        wav2lip_train.py:111-164 semantics. Pixels ship as uint8 and the
+        jitted steps cast to f32/255 on device (within 1 ulp, 4x fewer
+        host→device bytes; see ``sample_syncnet``)."""
         T = self.mcfg.syncnet_T
         size = self.mcfg.img_size
         while True:
@@ -217,11 +226,10 @@ class WindowSampler:
             if indiv is None:
                 continue
 
-            gt = window.astype(np.float32) / 255.0           # (T, H, W, 3)
+            gt = window                                       # (T,H,W,3) u8
             masked = gt.copy()
-            masked[:, size // 2 :, :, :] = 0.0
-            ref = wrong_window.astype(np.float32) / 255.0
-            x = np.concatenate([masked, ref], axis=-1)        # (T, H, W, 6)
+            masked[:, size // 2 :, :, :] = 0
+            x = np.concatenate([masked, wrong_window], axis=-1)  # (T,H,W,6)
             return {
                 "x": x,
                 "indiv_mels": indiv[..., None].astype(np.float32),

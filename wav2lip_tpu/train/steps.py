@@ -69,6 +69,34 @@ _REP = P()           # replicated: parameters, optimizer state, scalars
 _BATCH = P(DATA_AXIS)  # leading-axis sharded: batches, generated frames
 
 
+def _as_unit(a):
+    """uint8 pixel tensors → float32 in [0, 1]; float tensors pass through.
+
+    The host input pipeline ships pixels as uint8 — 4x fewer bytes over the
+    host→device hop, which is the end-to-end trainer's wall on thin links
+    (bench ``train_e2e_stages``) — and this cast runs on device, fused by XLA
+    into the first convolution. uint8→f32 conversion is exact; the /255 is
+    compiled to a multiply-by-reciprocal that lands within 1 ulp of the
+    reference's host-side IEEE division (``img / 255.``,
+    wav2lip_train.py:141) — measured: 126/256 byte values off by exactly
+    1 ulp, the rest exact (tests/test_train.py::TestUint8Batches). A ≤6e-8
+    input perturbation in [0,1], orders below the JPEG quantization noise
+    the pixels already carry.
+    """
+    if a.dtype == jnp.uint8:
+        return a.astype(jnp.float32) / 255.0
+    return a
+
+
+def _unit_batch(batch):
+    """``_as_unit`` over the pixel entries of a wav2lip batch dict."""
+    out = dict(batch)
+    for k in ("x", "gt"):
+        if k in out:
+            out[k] = _as_unit(out[k])
+    return out
+
+
 def _identity_reduce(*trees):
     """mesh=None: XLA's partitioner owns any cross-device reduction."""
     return trees if len(trees) > 1 else trees[0]
@@ -216,6 +244,7 @@ def make_syncnet_steps(tx: optax.GradientTransformation, mesh=None,
     def train_body(state: TrainState, mel, faces, y, *, reduce):
         if mel.ndim == 3:  # (B, 80, 16) from the data pipeline → NHWC
             mel = mel[..., None]
+        faces = _as_unit(faces)
 
         def loss_fn(params):
             (a, v), new_bs = forward(params, state.batch_stats, mel, faces)
@@ -237,7 +266,8 @@ def make_syncnet_steps(tx: optax.GradientTransformation, mesh=None,
     def eval_body(state: TrainState, mel, faces, y, *, reduce):
         if mel.ndim == 3:  # (B, 80, 16) from the data pipeline → NHWC
             mel = mel[..., None]
-        a, v = model.apply(state.variables(), mel, faces, train=False)
+        a, v = model.apply(state.variables(), mel, _as_unit(faces),
+                           train=False)
         return reduce({"loss": cosine_bce_loss(a, v, y)})
 
     data3 = (_REP, _BATCH, _BATCH, _BATCH)
@@ -261,6 +291,8 @@ def make_wav2lip_steps(tx: optax.GradientTransformation, mesh=None,
 
     def train_body(state: TrainState, sync_vars, batch: Dict[str, jax.Array],
                    syncnet_wt, *, use_sync: bool, reduce):
+        batch = _unit_batch(batch)
+
         def loss_fn(params):
             g, new_bs = gen_forward(params, state.batch_stats,
                                     batch["indiv_mels"], batch["x"])
@@ -289,6 +321,7 @@ def make_wav2lip_steps(tx: optax.GradientTransformation, mesh=None,
         return state, metrics, g
 
     def eval_body(state: TrainState, sync_vars, batch, *, reduce):
+        batch = _unit_batch(batch)
         g = gen.apply(state.variables(), batch["indiv_mels"], batch["x"],
                       train=False)
         l1 = l1_loss(g, batch["gt"])
@@ -326,6 +359,8 @@ def make_gan_steps(gen_tx: optax.GradientTransformation,
 
     def gen_body(gen_state: TrainState, disc_params, sync_vars, batch,
                  syncnet_wt, disc_wt, *, use_sync: bool, reduce):
+        batch = _unit_batch(batch)
+
         # generator update (hq_wav2lip_train.py:221-243)
         def gen_loss_fn(params):
             g, new_bs = gen_forward(params, gen_state.batch_stats,
@@ -364,6 +399,8 @@ def make_gan_steps(gen_tx: optax.GradientTransformation,
         return gen_state, metrics, jax.lax.stop_gradient(g)
 
     def disc_body(disc_state: TrainState, gt, g_detached, *, reduce):
+        gt = _as_unit(gt)
+
         # discriminator update on real + detached fake
         # (hq_wav2lip_train.py:245-256: two backwards, one step)
         def disc_loss_fn(params):
@@ -417,6 +454,7 @@ def make_gan_steps(gen_tx: optax.GradientTransformation,
 
     def eval_body(gen_state: TrainState, disc_state: TrainState, sync_vars,
                   batch, *, reduce):
+        batch = _unit_batch(batch)
         g = gen.apply(gen_state.variables(), batch["indiv_mels"], batch["x"],
                       train=False)
         l1 = l1_loss(g, batch["gt"])

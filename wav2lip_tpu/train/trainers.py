@@ -64,7 +64,11 @@ def save_sample_images(x, g, gt, step: int, checkpoint_dir: str):
     """Dump ref/input/generated/gt collages (reference
     wav2lip_train.py:166-177). Inputs are NHWC float [0,1] batches:
     x (B,T,96,96,6), g/gt (B,T,96,96,3)."""
-    to_u8 = lambda a: np.clip(np.asarray(a) * 255.0, 0, 255).astype(np.uint8)
+    def to_u8(a):
+        a = np.asarray(a)
+        if a.dtype == np.uint8:  # pixels already ship as uint8 from the loader
+            return a
+        return np.clip(a * 255.0, 0, 255).astype(np.uint8)
     x, g, gt = to_u8(x), to_u8(g), to_u8(gt)
     refs, inps = x[..., 3:], x[..., :3]
     folder = join(checkpoint_dir, f"samples_step{step:09d}")
