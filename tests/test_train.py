@@ -447,6 +447,68 @@ class TestTrainerLoop:
         assert any(r["prefix"] == "train" and r["step"] == 1 for r in recs)
 
 
+class TestWav2LipTrainerLoop:
+    def test_gan_fit_loop_plumbing(self, tmp_path, sync_vars, mesh1):
+        """Drives Wav2LipTrainer(gan=True).fit end-to-end over real uint8
+        loader batches with the two jitted step programs stubbed (their
+        numerics are covered by TestGANStep; a cold GAN-step compile is
+        minutes on this host): checkpoint cadence, uint8 sample-collage
+        dumps, curriculum trigger on eval sync, and counters."""
+        import itertools
+        import types
+
+        from wav2lip_tpu.train.trainers import Wav2LipTrainer
+
+        B, T, S = 2, 5, 96
+        r = np.random.default_rng(11)
+        batch = {
+            "x": r.integers(0, 256, (B, T, S, S, 6), dtype=np.uint8),
+            "indiv_mels": r.standard_normal(
+                (B, T, 80, 16, 1)).astype(np.float32),
+            "mel": r.standard_normal((B, 80, 16)).astype(np.float32),
+            "gt": r.integers(0, 256, (B, T, S, S, 3), dtype=np.uint8),
+        }
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG,
+            train=dataclasses.replace(
+                DEFAULT_CONFIG.train, checkpoint_interval=2,
+                eval_interval=2, eval_steps_gan=1),
+        )
+        t = Wav2LipTrainer(sync_vars, config=cfg, mesh=mesh1, gan=True,
+                           log_fn=lambda *a, **k: None)
+
+        g_fake = np.zeros((B, T, S, S, 3), np.float32)
+        t.train_step = types.SimpleNamespace(
+            gen_step=lambda gs, dp, sv, b, wt, dwt, use_sync: (
+                gs, {"loss": 1.0, "l1": 0.5, "sync": 0.0}, g_fake),
+            disc_step=lambda ds, gt, g: (ds, {"disc_real": 0.6,
+                                              "disc_fake": 0.7}),
+        )
+        # eval sync below the 0.75 threshold must flip syncnet_wt to 0.03
+        # (hq_wav2lip_train.py:289-290)
+        t.eval_step = lambda gs, ds, sv, b: {"loss": 1.0, "l1": 0.5,
+                                             "sync": 0.2, "disc_real": 0.6,
+                                             "disc_fake": 0.7}
+        assert t.syncnet_wt == 0.0
+        it = itertools.repeat(batch)
+        t.fit(iter(it), iter(it), str(tmp_path), max_steps=3,
+              dump_samples=True, steps_per_epoch=2)
+        assert t.global_step == 3 and t.global_epoch == 1
+        assert t.syncnet_wt == 0.03  # curriculum fired from stubbed eval
+        # checkpoint cadence: step 1 (always), 2 (interval), 3 (max_steps);
+        # GAN mode writes generator + disc_ pairs
+        names = sorted(os.listdir(tmp_path))
+        for s in (1, 2, 3):
+            assert f"checkpoint_step{s:09d}" in names
+            assert f"disc_checkpoint_step{s:09d}" in names
+        # sample collages dumped from the uint8 host batch at checkpoints
+        dumps = [n for n in names if n.startswith("samples_step")]
+        assert dumps
+        for d in dumps:
+            assert any(f.endswith(".jpg")
+                       for f in os.listdir(tmp_path / d))
+
+
 class TestShardBatch:
     def test_warns_on_indivisible_batch(self, mesh):
         """A batch not divisible by the mesh silently replicated 8x work in
