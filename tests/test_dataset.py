@@ -116,6 +116,42 @@ class TestPrefetchLoader:
             loader.close()
 
 
+class TestUnusableDatasetFailsLoudly:
+    """The reference resamples forever (wav2lip_train.py:112-127); on a
+    broken setup — filelist entries that don't exist under data_root, or
+    all-too-short videos — that is a silent 100% CPU spin with no output
+    (it cost two 45-minute timed-out trainer drives before this guard).
+    The sampler must raise with a diagnostic instead."""
+
+    def test_nonexistent_video_dirs_raise(self):
+        s = WindowSampler(["/nonexistent/a", "/nonexistent/b"], seed=0)
+        with pytest.raises(RuntimeError, match="unusable.*frame counts"):
+            s.sample_wav2lip()
+
+    def test_raises_through_prefetch_loader(self):
+        from wav2lip_tpu.data.dataset import PrefetchLoader
+
+        s = WindowSampler(["/nonexistent/only"], seed=0)
+        loader = PrefetchLoader(s.sample_syncnet, batch_size=2,
+                                num_workers=1)
+        try:
+            with pytest.raises(RuntimeError, match="worker failed") as ei:
+                next(iter(loader))
+            assert "unusable" in str(ei.value.__cause__)
+        finally:
+            loader.close()
+
+    def test_successes_reset_the_counter(self, dataset):
+        """Only CONSECUTIVE rejections count: a usable dataset must sample
+        far past the limit without tripping, even with the limit floored."""
+        root, dirs = dataset
+        s = WindowSampler(dirs, seed=6)
+        s._reject_limit = 8  # make any leak across successes visible
+        for _ in range(64):
+            s.sample_wav2lip()
+        assert s._rejects < 8
+
+
 class TestLoaderTrainerIntegration:
     def test_syncnet_loader_feeds_trainer(self, dataset, tmp_path):
         """The data pipeline's (faces, mel(80,16), y) tuples must drive a

@@ -446,6 +446,28 @@ class TestTrainerLoop:
         recs = [json.loads(ln) for ln in log_path.read_text().splitlines()]
         assert any(r["prefix"] == "train" and r["step"] == 1 for r in recs)
 
+    def test_fit_console_heartbeat(self, tmp_path, sync_batch, mesh1):
+        """fit() announces entry and then prints rate-limited progress lines
+        (the reference's live signal is a tqdm running-loss bar,
+        wav2lip_train.py:209; ours is the JSONL series plus this console
+        heartbeat — without it a step-1 stall is undiagnosable)."""
+        import itertools
+
+        from wav2lip_tpu.train.trainers import SyncNetTrainer
+
+        mel, faces, y = sync_batch
+        lines = []
+        t = SyncNetTrainer(rng_seed=0, mesh=mesh1, log_fn=lines.append)
+        t.heartbeat_s = 0.0  # beat every step
+        it = itertools.repeat((faces, mel, y))
+        t.fit(iter(it), None, str(tmp_path), max_steps=3)
+        assert any("fit: step 0 -> 3" in ln for ln in lines)
+        beats = [ln for ln in lines if "steps/s" in ln]
+        assert len(beats) == 3 and "compile + warmup" in beats[0]
+        # the compile tag belongs to the fit's first step ONLY
+        assert all("compile + warmup" not in b for b in beats[1:])
+        assert "loss=" in beats[-1]
+
 
 class TestWav2LipTrainerLoop:
     def test_gan_fit_loop_plumbing(self, tmp_path, sync_vars, mesh1):

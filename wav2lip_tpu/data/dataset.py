@@ -16,7 +16,10 @@ once and cached (the reference recomputes the full mel per *sample*,
 wav2lip_train.py:137-143 — the dominant input cost). Mels are deterministic,
 so behavior is unchanged. Rejection/resampling semantics are preserved:
 videos with ≤ 3·T frames are skipped, windows with missing frames or
-out-of-range mels are resampled.
+out-of-range mels are resampled — but unlike the reference's bare
+``while 1: continue`` (which spins silently at 100% CPU forever on a broken
+setup, e.g. a filelist that doesn't match the data_root layout), a long run
+of CONSECUTIVE rejections raises with a diagnostic (``_note_reject``).
 
 A ``PrefetchLoader`` runs sampling in worker threads (cv2 JPEG decode
 releases the GIL) and keeps a bounded queue of ready batches, standing in for
@@ -78,6 +81,15 @@ class WindowSampler:
         self._mel_cache: Dict[str, np.ndarray] = {}
         self._mel_cache_size = mel_cache_size
         self._lock = threading.Lock()
+        # Loud-failure guard on the reference's infinite resampling
+        # (wav2lip_train.py:112-127 ``while 1: ... continue``): a broken
+        # setup — filelist entries that don't match the data_root layout,
+        # videos all ≤ 3·T frames, missing audio.wav — makes every attempt
+        # fail, and the reference spins silently at 100% CPU forever. Only
+        # CONSECUTIVE rejections count (any success resets), so sparse
+        # datasets with high legitimate rejection rates never trip this.
+        self._rejects = 0
+        self._reject_limit = max(1000, min(20 * len(self.videos), 100_000))
 
     # -- helpers -------------------------------------------------------------
 
@@ -125,6 +137,27 @@ class WindowSampler:
             self._mel_cache[vid_dir] = mel
         return mel
 
+    def _note_reject(self, reason: str) -> None:
+        """Count a rejected sampling attempt; raise once the dataset looks
+        unusable rather than unlucky (see ``_reject_limit`` in __init__).
+        Racy increments from loader threads only blur the count by a few —
+        the threshold is three orders of magnitude above noise."""
+        self._rejects += 1
+        if self._rejects >= self._reject_limit:
+            probe = {
+                v: len(glob(join(v, "*.jpg"))) for v in self.videos[:3]
+            }
+            raise RuntimeError(
+                f"WindowSampler: {self._rejects} consecutive sampling "
+                f"attempts rejected over {len(self.videos)} video(s) — "
+                f"last reason: {reason}. The dataset looks unusable, not "
+                f"unlucky. First video dirs and their frame counts: {probe}. "
+                "Check that the filelist entries joined onto data_root match "
+                "the preprocessed layout: each video dir needs > 3*T "
+                "face-crop JPEGs named {frame_idx}.jpg plus an audio.wav "
+                "(reference preprocess.py:61-67 layout)."
+            )
+
     def _pick_video(self) -> Tuple[str, List[str]]:
         while True:
             vid = self.videos[self.rng.randrange(len(self.videos))]
@@ -132,6 +165,10 @@ class WindowSampler:
             # reject too-short videos (reference wav2lip_train.py:116)
             if len(frames) > 3 * self.mcfg.syncnet_T:
                 return vid, frames
+            self._note_reject(
+                f"{vid}: {len(frames)} frames <= 3*T="
+                f"{3 * self.mcfg.syncnet_T}"
+            )
 
     # -- samples ---------------------------------------------------------------
 
@@ -164,20 +201,25 @@ class WindowSampler:
 
             paths = self._window_paths(chosen)
             if paths is None:
+                self._note_reject("window crosses a frame-index gap")
                 continue
             window = self._read_window(paths)
             if window is None:
+                self._note_reject("unreadable frame JPEG")
                 continue
             mel_tm = self._mel_for(vid)
             if mel_tm is None:
+                self._note_reject("missing/unreadable audio.wav")
                 continue
             mel = crop_audio_window(
                 mel_tm, self._frame_id(img_name), self.mcfg.fps,
                 self.mcfg.mel_step_size,
             )
             if mel.shape[0] != self.mcfg.mel_step_size:
+                self._note_reject("mel window out of audio range")
                 continue
 
+            self._rejects = 0
             lower = window[:, size // 2 :, :, :]  # (T, 48, 96, 3)
             faces = np.transpose(lower, (1, 2, 0, 3)).reshape(
                 size // 2, size, T * 3
@@ -206,26 +248,32 @@ class WindowSampler:
             paths = self._window_paths(img_name)
             wrong_paths = self._window_paths(wrong_img_name)
             if paths is None or wrong_paths is None:
+                self._note_reject("window crosses a frame-index gap")
                 continue
             window = self._read_window(paths)
             wrong_window = self._read_window(wrong_paths)
             if window is None or wrong_window is None:
+                self._note_reject("unreadable frame JPEG")
                 continue
             mel_tm = self._mel_for(vid)
             if mel_tm is None:
+                self._note_reject("missing/unreadable audio.wav")
                 continue
             fid = self._frame_id(img_name)
             mel = crop_audio_window(
                 mel_tm, fid, self.mcfg.fps, self.mcfg.mel_step_size
             )
             if mel.shape[0] != self.mcfg.mel_step_size:
+                self._note_reject("mel window out of audio range")
                 continue
             indiv = segmented_mels(
                 mel_tm, fid, self.mcfg.fps, T, self.mcfg.mel_step_size
             )
             if indiv is None:
+                self._note_reject("segmented mels out of audio range")
                 continue
 
+            self._rejects = 0
             gt = window                                       # (T,H,W,3) u8
             masked = gt.copy()
             masked[:, size // 2 :, :, :] = 0

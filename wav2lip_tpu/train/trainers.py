@@ -134,6 +134,39 @@ class _BaseTrainer:
                      or self.global_step % self.log_every == 0)):
             self.metrics_logger.log(self.global_step, metrics, prefix="train")
 
+    # console heartbeat interval; tests shrink it to beat every step
+    heartbeat_s: float = 30.0
+
+    def _heartbeat_reset(self, tag: str, max_steps: int) -> None:
+        """Announce fit entry on the console. The reference shows a live
+        tqdm bar with running losses (wav2lip_train.py:209,256-257); our
+        full series goes to train_log.jsonl, but a silent console makes a
+        step-1 stall (cold compile, wedged device link, starved loader)
+        undiagnosable — so fit() prints where it starts and then beats."""
+        self._hb_tag = tag
+        self._hb_t = time.time()
+        self._hb_step = self._hb_start_step = self.global_step
+        self.log(f"[{tag}] fit: step {self.global_step} -> {max_steps} "
+                 f"(next line after the first step completes)")
+
+    def _heartbeat(self, metrics) -> None:
+        """Rate-limited progress line. Blocks on the device loss scalars at
+        most once per ``heartbeat_s`` — and right after the first step of
+        this fit, so cold-compile/warmup time is visible — keeping the
+        per-step loop free of host syncs (async dispatch stays intact)."""
+        now = time.time()
+        first = self.global_step == self._hb_start_step + 1
+        if not first and now - self._hb_t < self.heartbeat_s:
+            return
+        rate = (self.global_step - self._hb_step) / max(now - self._hb_t,
+                                                        1e-9)
+        vals = " ".join(f"{k}={float(v):.4f}"
+                        for k, v in sorted(metrics.items()))
+        note = " (first step: compile + warmup)" if first else ""
+        self.log(f"[{self._hb_tag}] step {self.global_step} "
+                 f"{rate:.2f} steps/s {vals}{note}")
+        self._hb_t, self._hb_step = now, self.global_step
+
     def _tick_epoch(self, steps_per_epoch: Optional[int]) -> None:
         """One reference 'epoch' = one pass over the dataset; with infinite
         samplers that is ``len(dataset) // batch`` steps
@@ -198,6 +231,7 @@ class SyncNetTrainer(_BaseTrainer):
         eval_batches = eval_batches or tcfg.eval_steps_syncnet
         os.makedirs(checkpoint_dir, exist_ok=True)
         self._open_metrics(checkpoint_dir)
+        self._heartbeat_reset("syncnet", max_steps)
         running, seen = 0.0, 0
         last = {}
         while self.global_step < max_steps:
@@ -208,6 +242,7 @@ class SyncNetTrainer(_BaseTrainer):
             self.global_step += 1
             self._tick_epoch(steps_per_epoch)
             self._log_train(metrics)
+            self._heartbeat(metrics)
             # accumulate the DEVICE scalar: float() here would block the
             # host every step and defeat async dispatch
             running = running + metrics["loss"]; seen += 1
@@ -345,6 +380,7 @@ class Wav2LipTrainer(_BaseTrainer):
                             else tcfg.eval_steps_wav2lip)
         os.makedirs(checkpoint_dir, exist_ok=True)
         self._open_metrics(checkpoint_dir)
+        self._heartbeat_reset("gan" if self.gan else "wav2lip", max_steps)
         last = {}
         t0 = time.time()
         while self.global_step < max_steps:
@@ -353,6 +389,7 @@ class Wav2LipTrainer(_BaseTrainer):
             self.global_step += 1
             self._tick_epoch(steps_per_epoch)
             self._log_train(metrics)
+            self._heartbeat(metrics)
             if (self.global_step == 1
                     or self.global_step % tcfg.checkpoint_interval == 0
                     or self.global_step == max_steps):
