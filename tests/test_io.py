@@ -284,3 +284,157 @@ class TestMux:
         got = mux_audio(str(src), "unused.wav", str(out), move=True)
         assert got == str(out)
         assert out.exists() and not src.exists()
+
+
+class TestEmbedAudio:
+    """Pure-Python no-ffmpeg mux: embed_wav_audio patches the writers'
+    reserved header slot into a PCM ``auds`` stream and appends the samples
+    in place (reference needs ffmpeg for this step, inference.py:276-277)."""
+
+    @staticmethod
+    def _parse_avi(path):
+        """Minimal independent RIFF walk: returns (dwStreams, audio_pcm
+        bytes concatenated from 01wb chunks, idx1 chunk ids, wfx fields)."""
+        import struct
+
+        data = open(path, "rb").read()
+        assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+        pos, movi, idx1, hdrl = 12, None, None, None
+        while pos + 8 <= len(data):
+            cid, cs = struct.unpack_from("<4sI", data, pos)
+            if cid == b"LIST" and data[pos + 8:pos + 12] == b"movi":
+                movi = (pos, cs)
+            elif cid == b"LIST" and data[pos + 8:pos + 12] == b"hdrl":
+                hdrl = (pos, cs)
+            elif cid == b"idx1":
+                idx1 = (pos, cs)
+            pos += 8 + cs + (cs & 1)
+        avih_off = data.index(b"avih", hdrl[0])
+        streams = struct.unpack_from("<I", data, avih_off + 8 + 24)[0]
+        audio = b""
+        p, end = movi[0] + 12, movi[0] + 8 + movi[1]
+        while p + 8 <= end:
+            cid, cs = struct.unpack_from("<4sI", data, p)
+            if cid == b"01wb":
+                audio += data[p + 8:p + 8 + cs]
+            p += 8 + cs + (cs & 1)
+        ids = [data[idx1[0] + 8 + i:idx1[0] + 8 + i + 4]
+               for i in range(0, idx1[1], 16)]
+        wfx = None
+        strf_auds = data.find(b"auds")
+        if strf_auds != -1:
+            strf_off = data.index(b"strf", strf_auds)
+            wfx = struct.unpack_from("<HHIIHHH", data, strf_off + 8)
+        return streams, audio, ids, wfx
+
+    @staticmethod
+    def _write_wav(path, rate=16000, seconds=0.7, channels=1,
+                   dtype=np.int16):
+        from scipy.io import wavfile
+
+        n = int(rate * seconds)
+        t = np.arange(n) / rate
+        x = np.sin(2 * np.pi * 440 * t)
+        if channels > 1:
+            x = np.stack([x, np.sin(2 * np.pi * 220 * t)], 1)
+        if dtype == np.int16:
+            data = (x * 20000).astype(np.int16)
+        else:
+            data = x.astype(dtype)
+        wavfile.write(str(path), rate, data)
+        return data
+
+    def test_embed_into_mjpeg_avi(self, tmp_path):
+        from wav2lip_tpu.io import embed_wav_audio
+
+        path = tmp_path / "v.avi"
+        with MJPEGWriter(str(path), 25.0, (48, 48)) as w:
+            for i in range(6):
+                w.write(np.full((48, 48, 3), 10 * i, np.uint8))
+        wav = self._write_wav(tmp_path / "a.wav", channels=2)
+
+        assert embed_wav_audio(str(path), str(tmp_path / "a.wav"))
+
+        streams, audio, ids, wfx = self._parse_avi(str(path))
+        assert streams == 2
+        got = np.frombuffer(audio, np.int16).reshape(-1, 2)
+        np.testing.assert_array_equal(got, wav)
+        assert b"01wb" in ids and ids[:1] == [b"00dc"]
+        # WAVEFORMATEX: PCM, 2ch, 16 kHz, 16-bit
+        assert wfx[:3] == (1, 2, 16000) and wfx[5] == 16
+        # the video track still decodes to all 6 frames
+        cap = cv2.VideoCapture(str(path))
+        n = 0
+        while cap.read()[0]:
+            n += 1
+        cap.release()
+        assert n == 6
+
+    def test_embed_into_prealloc_avi(self, tmp_path):
+        from wav2lip_tpu.io import embed_wav_audio
+        from wav2lip_tpu.io.video import PreallocRawAVIWriter
+
+        path = tmp_path / "v.avi"
+        frames = [np.full((32, 32, 3), 7 * i, np.uint8) for i in range(4)]
+        w = PreallocRawAVIWriter(str(path), 25.0, (32, 32), max_frames=4)
+        for fr in frames:
+            w.write(fr)
+        w.close()
+        wav = self._write_wav(tmp_path / "a.wav", dtype=np.float32)
+
+        assert embed_wav_audio(str(path), str(tmp_path / "a.wav"))
+
+        streams, audio, _, wfx = self._parse_avi(str(path))
+        assert streams == 2 and wfx[1] == 1
+        got = np.frombuffer(audio, np.int16)
+        # float wav lands as int16 with the standard * 32767 scaling
+        np.testing.assert_array_equal(
+            got, (np.clip(wav, -1, 1) * 32767).astype(np.int16))
+        # lossless frames byte-identical after the in-place embed
+        back, _fps = read_video_frames(str(path))
+        assert len(back) == len(frames)
+        for fr, b in zip(frames, back):
+            np.testing.assert_array_equal(fr, b)
+
+    def test_no_slot_container_returns_false(self, tmp_path):
+        from wav2lip_tpu.io import VideoFrameWriter, embed_wav_audio
+
+        path = tmp_path / "cv2.avi"
+        w = VideoFrameWriter(str(path), 25.0, (48, 48), fourcc="MJPG")
+        for _ in range(3):
+            w.write(np.zeros((48, 48, 3), np.uint8))
+        w.close()
+        self._write_wav(tmp_path / "a.wav")
+        assert not embed_wav_audio(str(path), str(tmp_path / "a.wav"))
+
+    def test_unreadable_audio_returns_false(self, tmp_path):
+        from wav2lip_tpu.io import embed_wav_audio
+
+        path = tmp_path / "v.avi"
+        with MJPEGWriter(str(path), 25.0, (48, 48)) as w:
+            w.write(np.zeros((48, 48, 3), np.uint8))
+        bogus = tmp_path / "a.wav"
+        bogus.write_bytes(b"not a wav")
+        assert not embed_wav_audio(str(path), str(bogus))
+
+    def test_mux_audio_embeds_without_ffmpeg(self, tmp_path, monkeypatch,
+                                             capsys):
+        import wav2lip_tpu.io.video as vid
+
+        monkeypatch.setattr(vid, "has_ffmpeg", lambda: False)
+        src = tmp_path / "in.avi"
+        with MJPEGWriter(str(src), 25.0, (48, 48)) as w:
+            for _ in range(3):
+                w.write(np.zeros((48, 48, 3), np.uint8))
+        wav = self._write_wav(tmp_path / "a.wav")
+        out = tmp_path / "out.avi"
+
+        got = mux_audio(str(src), str(tmp_path / "a.wav"), str(out),
+                        move=True)
+
+        assert got == str(out) and out.exists() and not src.exists()
+        assert "embedded PCM audio" in capsys.readouterr().out
+        streams, audio, _, _ = self._parse_avi(str(out))
+        assert streams == 2
+        np.testing.assert_array_equal(
+            np.frombuffer(audio, np.int16), wav.ravel())

@@ -65,6 +65,7 @@ from wav2lip_tpu.detect import FaceDetectionPipeline
 from wav2lip_tpu.io.video import (
     PreallocRawAVIWriter,
     VideoFrameReader,
+    embed_wav_audio,
     extract_audio,
     has_ffmpeg,
     make_frame_writer,
@@ -1631,14 +1632,23 @@ class LipSyncPipeline:
             raise errors[0]
         assert written[0] == produced, (written[0], produced)
 
-        # mux (reference inference.py:276-277)
+        # mux (reference inference.py:276-277). Without ffmpeg the container
+        # at outfile already holds the frames (no-copy path); the wav is
+        # embedded as a PCM stream in place — byte patches + an append, no
+        # video byte moves (io.video.embed_wav_audio).
         with self.timings("mux"):
             if mux:
                 return mux_audio(tmp_video, wav_path, outfile, move=True)
-            print(
-                f"[wav2lip_tpu] ffmpeg not found: wrote video without audio "
-                f"track to {outfile}"
-            )
+            if embed_wav_audio(outfile, wav_path):
+                print(
+                    f"[wav2lip_tpu] ffmpeg not found: embedded PCM audio "
+                    f"into the AVI container at {outfile}"
+                )
+            else:
+                print(
+                    f"[wav2lip_tpu] ffmpeg not found: wrote video without "
+                    f"audio track to {outfile}"
+                )
             return outfile
 
     # _static_frame is set in run() before _execute for static mode

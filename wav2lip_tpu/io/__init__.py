@@ -5,6 +5,7 @@ from wav2lip_tpu.io.video import (
     VideoFrameWriter,
     make_frame_writer,
     mux_audio,
+    embed_wav_audio,
     extract_audio,
     has_ffmpeg,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "VideoFrameWriter",
     "make_frame_writer",
     "mux_audio",
+    "embed_wav_audio",
     "extract_audio",
     "has_ffmpeg",
 ]

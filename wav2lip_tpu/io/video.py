@@ -205,6 +205,14 @@ class _AVIWriterBase:
     _AVIF_HASINDEX = 0x10
     _AVIIF_KEYFRAME = 0x10
 
+    #: payload of the reserved audio-stream slot (see _write_headers): a JUNK
+    #: chunk exactly the size of the 'LIST strl' a PCM audio stream needs
+    #: (strh 56 + WAVEFORMATEX strf 18), so :func:`embed_wav_audio` can turn
+    #: a finished silent container into video+audio by patching bytes in
+    #: place — no header shift, no movi rewrite.
+    _AUDIO_SLOT_MARKER = b"W2L_AUDIO_SLOT\x00"
+    _AUDIO_SLOT_PAYLOAD = 94  # == 102-byte LIST strl minus the 8-byte header
+
     #: stream handler fourcc (strh) and BITMAPINFOHEADER biCompression (strf)
     _HANDLER = b"\x00\x00\x00\x00"
     _COMPRESSION = b"\x00\x00\x00\x00"
@@ -245,8 +253,8 @@ class _AVIWriterBase:
         self._riff_size_pos = f.tell(); f.write(struct.pack("<I", 0))
         f.write(b"AVI ")
 
-        # LIST hdrl
-        hdrl_payload_size = 4 + 8 + 56 + 8 + 4 + 8 + 56 + 8 + 40
+        # LIST hdrl (+102: the reserved audio-stream JUNK slot at the end)
+        hdrl_payload_size = 4 + 8 + 56 + 8 + 4 + 8 + 56 + 8 + 40 + 102
         f.write(b"LIST" + struct.pack("<I", hdrl_payload_size) + b"hdrl")
 
         # avih: MainAVIHeader
@@ -296,6 +304,13 @@ class _AVIWriterBase:
             40, self.w, self._HEIGHT_SIGN * self.h, 1, 24, self._COMPRESSION,
             self.w * self.h * 3, 0, 0, 0, 0,
         ))
+
+        # reserved audio slot: legal-AVI JUNK padding that embed_wav_audio()
+        # later rewrites into the audio stream's LIST strl (same byte count)
+        f.write(b"JUNK" + struct.pack("<I", self._AUDIO_SLOT_PAYLOAD))
+        f.write(self._AUDIO_SLOT_MARKER
+                + b"\x00" * (self._AUDIO_SLOT_PAYLOAD
+                             - len(self._AUDIO_SLOT_MARKER)))
 
         # LIST movi
         f.write(b"LIST")
@@ -663,15 +678,186 @@ def extract_audio(media_path: str, out_wav: Optional[str] = None,
     return out_wav
 
 
+def _wav_pcm16(wav_path: str) -> Optional[Tuple[int, np.ndarray]]:
+    """Read a .wav and normalize to interleaved int16 PCM.
+
+    Returns ``(sample_rate, (n_samples, n_channels) int16)`` or None when the
+    file isn't a readable wav (non-wav container, zero samples, exotic
+    codec). scipy handles 8/16/32-bit integer and float PCM.
+    """
+    from scipy.io import wavfile
+    try:
+        rate, data = wavfile.read(wav_path)
+    except Exception:  # noqa: BLE001 — any unreadable input → no embed
+        return None
+    if data.size == 0 or rate <= 0:
+        return None
+    if data.ndim == 1:
+        data = data[:, None]
+    if data.dtype == np.int16:
+        pcm = data
+    elif data.dtype == np.int32:
+        pcm = (data >> 16).astype(np.int16)
+    elif data.dtype == np.uint8:
+        pcm = ((data.astype(np.int16) - 128) << 8)
+    elif data.dtype in (np.float32, np.float64):
+        pcm = (np.clip(data, -1.0, 1.0) * 32767.0).astype(np.int16)
+    else:
+        return None
+    return int(rate), np.ascontiguousarray(pcm)
+
+
+def embed_wav_audio(avi_path: str, wav_path: str) -> bool:
+    """Pure-Python audio mux: add the wav as a PCM ``auds`` stream to an AVI
+    written by :class:`_AVIWriterBase`, IN PLACE.
+
+    The writers reserve a JUNK slot in ``hdrl`` sized exactly like the audio
+    stream's ``LIST strl`` (see ``_AUDIO_SLOT_MARKER``), so embedding is three
+    byte-patches plus an append: slot → strl, ``dwStreams`` 1 → 2, audio
+    ``01wb`` chunks appended to ``movi`` with ``idx1`` rewritten after them.
+    No video byte moves — for the preallocated mmap'd sink that makes the
+    whole mux ~sub-millisecond per second of audio. The audio lands
+    non-interleaved (all blocks after the video chunks); every indexed-AVI
+    reader (ffmpeg/libav, VLC, mpv, OpenCV) seeks streams via ``idx1`` and
+    plays this fine.
+
+    Returns True on success; False when the container lacks the slot (e.g.
+    a cv2-written file) or the wav is unreadable — callers fall back to the
+    silent-video warning. Replaces the reference's hard ffmpeg dependency for
+    wav inputs (inference.py:276-277).
+    """
+    loaded = _wav_pcm16(wav_path)
+    if loaded is None:
+        return False
+    rate, pcm = loaded
+    n_samples, n_ch = pcm.shape
+    block_align = 2 * n_ch
+    byte_rate = rate * block_align
+    marker = _AVIWriterBase._AUDIO_SLOT_MARKER
+    slot_payload = _AVIWriterBase._AUDIO_SLOT_PAYLOAD
+
+    with open(avi_path, "r+b") as f:
+        head = f.read(12)
+        if len(head) < 12 or head[:4] != b"RIFF" or head[8:12] != b"AVI ":
+            return False
+
+        # -- walk the top-level chunks to find hdrl / movi / idx1 ----------
+        hdrl_off = movi_off = idx1_off = None
+        movi_size = idx1_size = 0
+        pos = 12
+        file_end = os.path.getsize(avi_path)
+        while pos + 8 <= file_end:
+            f.seek(pos)
+            cid, csize = struct.unpack("<4sI", f.read(8))
+            if cid == b"LIST":
+                ltype = f.read(4)
+                if ltype == b"hdrl":
+                    hdrl_off = pos
+                elif ltype == b"movi":
+                    movi_off, movi_size = pos, csize
+            elif cid == b"idx1":
+                idx1_off, idx1_size = pos, csize
+            pos += 8 + csize + (csize & 1)
+        if hdrl_off is None or movi_off is None or idx1_off is None:
+            return False
+        if idx1_off != movi_off + 8 + movi_size + (movi_size & 1):
+            return False  # unexpected layout (not one of ours)
+
+        # -- find avih and the reserved JUNK slot inside hdrl ---------------
+        f.seek(hdrl_off + 4)
+        hdrl_size = struct.unpack("<I", f.read(4))[0]
+        hdrl_end = hdrl_off + 8 + hdrl_size
+        avih_payload = slot_off = None
+        pos = hdrl_off + 12
+        while pos + 8 <= hdrl_end:
+            f.seek(pos)
+            cid, csize = struct.unpack("<4sI", f.read(8))
+            if cid == b"avih":
+                avih_payload = pos + 8
+            elif cid == b"JUNK" and csize == slot_payload:
+                if f.read(len(marker)) == marker:
+                    slot_off = pos
+            pos += 8 + csize + (csize & 1)
+        if avih_payload is None or slot_off is None:
+            return False
+
+        # -- 1. rewrite the JUNK slot as the audio LIST strl ----------------
+        max_chunk = block_align * max(1, rate // 2)  # ~0.5 s per chunk
+        f.seek(slot_off)
+        f.write(b"LIST" + struct.pack("<I", slot_payload) + b"strl")
+        f.write(b"strh" + struct.pack("<I", 56))
+        f.write(b"auds" + b"\x00\x00\x00\x00")  # fccType, fccHandler
+        f.write(struct.pack(
+            "<IHHIIIIIIIi4h",
+            0, 0, 0,                 # dwFlags, wPriority, wLanguage
+            0,                       # dwInitialFrames
+            block_align,             # dwScale
+            byte_rate,               # dwRate (rate/scale = samples/s)
+            0,                       # dwStart
+            n_samples,               # dwLength (in blocks)
+            max_chunk + 8,           # dwSuggestedBufferSize
+            0xFFFFFFFF,              # dwQuality (-1)
+            block_align,             # dwSampleSize (PCM: one block)
+            0, 0, 0, 0,              # rcFrame
+        ))
+        f.write(b"strf" + struct.pack("<I", 18))
+        f.write(struct.pack(
+            "<HHIIHHH", 1, n_ch, rate, byte_rate, block_align, 16, 0,
+        ))  # WAVEFORMATEX, wFormatTag=1 (PCM), cbSize=0
+
+        # -- 2. dwStreams 1 → 2 ---------------------------------------------
+        f.seek(avih_payload + 24)
+        f.write(struct.pack("<I", 2))
+
+        # -- 3. append audio chunks over the old idx1, rewrite idx1 ---------
+        old_index = []
+        f.seek(idx1_off + 8)
+        raw = f.read(idx1_size)
+        for i in range(0, len(raw) - 15, 16):
+            old_index.append(raw[i:i + 16])
+        pcm_bytes = memoryview(pcm).cast("B")
+        f.seek(idx1_off)
+        movi_cursor = movi_size  # chunk offsets in idx1 count from 'movi'
+        new_entries = []
+        for start in range(0, len(pcm_bytes), max_chunk):
+            part = pcm_bytes[start:start + max_chunk]
+            f.write(b"01wb" + struct.pack("<I", len(part)))
+            f.write(part)
+            if len(part) & 1:
+                f.write(b"\x00")
+            new_entries.append(struct.pack(
+                "<4sIII", b"01wb", _AVIWriterBase._AVIIF_KEYFRAME,
+                movi_cursor, len(part),
+            ))
+            movi_cursor += 8 + len(part) + (len(part) & 1)
+        f.write(b"idx1" + struct.pack(
+            "<I", 16 * (len(old_index) + len(new_entries))))
+        for entry in old_index:
+            f.write(entry)
+        for entry in new_entries:
+            f.write(entry)
+        end = f.tell()
+        f.truncate(end)
+
+        # -- 4. back-patch movi and RIFF sizes -------------------------------
+        f.seek(movi_off + 4)
+        f.write(struct.pack("<I", movi_cursor))
+        f.seek(4)
+        f.write(struct.pack("<I", end - 8))
+    return True
+
+
 def mux_audio(video_path: str, audio_path: str, outfile: str,
               move: bool = False) -> str:
     """Mux the audio track onto the rendered video (reference
     inference.py:276-277, ``ffmpeg -i audio -i video -q:v 1 out``).
 
-    Without ffmpeg the silent video lands at ``outfile`` — renamed into place
-    when ``move=True`` (the intermediate is disposable; avoids a full-file
-    copy), copied otherwise — and a warning is printed: lip-synced frames are
-    still produced, just without the audio track embedded.
+    Without ffmpeg, wav audio is embedded into the AVI container in pure
+    Python (:func:`embed_wav_audio`) and the file lands at ``outfile`` —
+    renamed into place when ``move=True`` (the intermediate is disposable;
+    avoids a full-file copy), copied otherwise. Only when the container has
+    no audio slot or the audio isn't readable wav does the silent video land
+    with a warning.
     """
     os.makedirs(os.path.dirname(os.path.abspath(outfile)), exist_ok=True)
     if has_ffmpeg():
@@ -680,14 +866,21 @@ def mux_audio(video_path: str, audio_path: str, outfile: str,
              "-i", video_path, "-strict", "-2", "-q:v", "1", outfile]
         )
     else:
+        embedded = embed_wav_audio(video_path, audio_path)
         if move:
             # shutil.move copies+removes across filesystems, where a bare
             # os.replace raises EXDEV (temp on tmpfs, outfile on disk)
             shutil.move(video_path, outfile)
         else:
             shutil.copyfile(video_path, outfile)
-        print(
-            f"[wav2lip_tpu] ffmpeg not found: wrote video without audio track "
-            f"to {outfile}"
-        )
+        if embedded:
+            print(
+                f"[wav2lip_tpu] ffmpeg not found: embedded PCM audio into "
+                f"the AVI container at {outfile}"
+            )
+        else:
+            print(
+                f"[wav2lip_tpu] ffmpeg not found: wrote video without audio "
+                f"track to {outfile}"
+            )
     return outfile
