@@ -438,3 +438,148 @@ class TestEmbedAudio:
         assert streams == 2
         np.testing.assert_array_equal(
             np.frombuffer(audio, np.int16), wav.ravel())
+
+
+class TestOpenDML:
+    """OpenDML AVI 2.0: containers larger than one RIFF roll into
+    ``RIFF AVIX`` continuations (RIFF sizes are 32-bit — without this a
+    >4 GB write, ~25 s of raw 1080p, would overflow at close). The limit is
+    shrunk so tiny files exercise the rollover; readers (cv2's ffmpeg
+    backend) scan continuations sequentially and read ``dmlh`` for the true
+    frame count."""
+
+    @staticmethod
+    def _riff_chunks(path):
+        """Top-level RIFF chunk types of the file: [b'AVI ', b'AVIX', ...]"""
+        import struct
+
+        data = open(path, "rb").read()
+        pos, kinds = 0, []
+        while pos + 12 <= len(data):
+            cid, cs = struct.unpack_from("<4sI", data, pos)
+            assert cid == b"RIFF", (pos, cid)
+            kinds.append(data[pos + 8:pos + 12])
+            pos += 8 + cs + (cs & 1)
+        assert pos == len(data), "trailing garbage after last RIFF"
+        return kinds
+
+    @staticmethod
+    def _decode_all(path):
+        cap = cv2.VideoCapture(path)
+        assert cap.isOpened()
+        frames = []
+        while True:
+            ok, fr = cap.read()
+            if not ok:
+                break
+            frames.append(fr)
+        count_prop = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        cap.release()
+        return frames, count_prop
+
+    def test_mjpeg_rolls_into_avix(self, tmp_path, monkeypatch):
+        from wav2lip_tpu.io.video import _AVIWriterBase
+
+        monkeypatch.setattr(_AVIWriterBase, "_RIFF_LIMIT", 16 * 1024)
+        frames = [synth_face_frame(64, 64, t) for t in range(40)]
+        p = str(tmp_path / "v.avi")
+        with MJPEGWriter(p, 25.0, (64, 64)) as w:
+            for f in frames:
+                w.write(f)
+        kinds = self._riff_chunks(p)
+        assert kinds[0] == b"AVI " and b"AVIX" in kinds[1:]
+        got, count_prop = self._decode_all(p)
+        assert len(got) == 40 and count_prop == 40  # dmlh total, not RIFF#0
+        for want, g in zip(frames, got):
+            assert np.abs(g.astype(int) - want.astype(int)).mean() < 4.0
+
+    def test_raw_rolls_into_avix_bit_exact(self, tmp_path, monkeypatch):
+        from wav2lip_tpu.io.video import _AVIWriterBase
+
+        monkeypatch.setattr(_AVIWriterBase, "_RIFF_LIMIT", 64 * 1024)
+        frames = [synth_face_frame(64, 48, t) for t in range(12)]
+        p = str(tmp_path / "v.avi")
+        with RawAVIWriter(p, 25.0, (48, 64)) as w:
+            for f in frames:
+                w.write(f)
+        assert len(self._riff_chunks(p)) >= 2
+        got, count_prop = self._decode_all(p)
+        assert len(got) == 12 and count_prop == 12
+        for want, g in zip(frames, got):
+            np.testing.assert_array_equal(g, want)
+
+    def test_prealloc_multi_riff_bit_exact(self, tmp_path, monkeypatch):
+        from wav2lip_tpu.io.video import PreallocRawAVIWriter
+
+        monkeypatch.setattr(PreallocRawAVIWriter, "_RIFF_LIMIT", 64 * 1024)
+        frames = [synth_face_frame(64, 48, t) for t in range(15)]
+        p = str(tmp_path / "v.avi")
+        w = PreallocRawAVIWriter(p, 25.0, (48, 64), max_frames=15)
+        assert w._riff0_end is not None  # layout actually crossed the limit
+        # out-of-order commits across RIFF boundaries, like the composite
+        for i in reversed(range(15)):
+            np.copyto(w.frame_view(i), frames[i])
+            w.commit(i)
+        w.close()
+        assert len(self._riff_chunks(p)) >= 2
+        got, count_prop = self._decode_all(p)
+        assert len(got) == 15 and count_prop == 15
+        for want, g in zip(frames, got):
+            np.testing.assert_array_equal(g, want)
+
+    def test_prealloc_short_commit_truncates_to_single_riff(
+            self, tmp_path, monkeypatch):
+        from wav2lip_tpu.io.video import PreallocRawAVIWriter
+
+        monkeypatch.setattr(PreallocRawAVIWriter, "_RIFF_LIMIT", 64 * 1024)
+        p = str(tmp_path / "v.avi")
+        w = PreallocRawAVIWriter(p, 25.0, (48, 64), max_frames=15)
+        assert w._riff0_end is not None
+        n = w._k0 - 1  # fewer frames than RIFF#0 holds
+        frames = [synth_face_frame(64, 48, t) for t in range(n)]
+        for i, f in enumerate(frames):
+            np.copyto(w.frame_view(i), f)
+            w.commit(i)
+        w.close()
+        assert self._riff_chunks(p) == [b"AVI "]  # continuations truncated
+        got, count_prop = self._decode_all(p)
+        assert len(got) == n and count_prop == n
+        for want, g in zip(frames, got):
+            np.testing.assert_array_equal(g, want)
+
+    def test_embed_refuses_multi_riff(self, tmp_path, monkeypatch):
+        """Appending audio at idx1 would overwrite the AVIX continuations —
+        embed must refuse and leave the file intact."""
+        from scipy.io import wavfile
+
+        from wav2lip_tpu.io import embed_wav_audio
+        from wav2lip_tpu.io.video import _AVIWriterBase
+
+        monkeypatch.setattr(_AVIWriterBase, "_RIFF_LIMIT", 16 * 1024)
+        p = str(tmp_path / "v.avi")
+        with MJPEGWriter(p, 25.0, (64, 64)) as w:
+            for t in range(40):
+                w.write(synth_face_frame(64, 64, t))
+        before = open(p, "rb").read()
+        wavfile.write(str(tmp_path / "a.wav"), 16000,
+                      np.zeros(8000, np.int16))
+        assert not embed_wav_audio(p, str(tmp_path / "a.wav"))
+        assert open(p, "rb").read() == before
+
+    def test_single_riff_layout_unchanged(self, tmp_path):
+        """Under the limit nothing rolls: one RIFF, idx1 at EOF, and the
+        audio slot still embeds."""
+        from scipy.io import wavfile
+
+        from wav2lip_tpu.io import embed_wav_audio
+
+        p = str(tmp_path / "v.avi")
+        with MJPEGWriter(p, 25.0, (64, 64)) as w:
+            for t in range(8):
+                w.write(synth_face_frame(64, 64, t))
+        assert self._riff_chunks(p) == [b"AVI "]
+        wavfile.write(str(tmp_path / "a.wav"), 16000,
+                      np.zeros(8000, np.int16))
+        assert embed_wav_audio(p, str(tmp_path / "a.wav"))
+        got, count_prop = self._decode_all(p)
+        assert len(got) == 8 and count_prop == 8

@@ -200,10 +200,28 @@ class VideoFrameWriter:
 class _AVIWriterBase:
     """Shared RIFF-AVI container plumbing (RIFF 'AVI ' → hdrl → movi chunks →
     idx1 index). Subclasses set the stream fourcc/compression and implement
-    ``write`` by handing per-frame payload bytes to :meth:`_append_chunk`."""
+    ``write`` by handing per-frame payload bytes to :meth:`_append_chunk`.
+
+    Containers larger than one RIFF chunk roll over into OpenDML AVI 2.0
+    ``RIFF AVIX`` continuation chunks automatically (RIFF sizes are 32-bit;
+    without this a >4 GB write — ~25 s of raw 1080p — would overflow at
+    close after all the work was done). Layout follows the ODML convention:
+    the first RIFF carries hdrl + movi + the legacy ``idx1`` (so pre-ODML
+    readers still play its frames), each continuation is ``RIFF('AVIX')
+    LIST('movi')``, and a ``LIST odml → dmlh`` header carries the true total
+    frame count. ffmpeg/libav (and so cv2) read the continuation chunks by
+    sequential scan — verified: a multi-RIFF file round-trips through
+    cv2.VideoCapture with the full frame count reported.
+    """
 
     _AVIF_HASINDEX = 0x10
     _AVIIF_KEYFRAME = 0x10
+
+    #: max bytes per RIFF chunk before rolling into an AVIX continuation.
+    #: The ODML convention is ~1 GiB for broad reader compatibility (the
+    #: format allows up to 4 GiB − 1). Tests shrink this to force rollover
+    #: on tiny files.
+    _RIFF_LIMIT = 1 << 30
 
     #: payload of the reserved audio-stream slot (see _write_headers): a JUNK
     #: chunk exactly the size of the 'LIST strl' a PCM audio stream needs
@@ -242,6 +260,11 @@ class _AVIWriterBase:
         self._movi_bytes = 4  # 'movi' fourcc
         self._max_chunk = 0
         self._closed = False
+        self._total_frames = 0
+        self._riff_index = 0        # 0 = the 'AVI ' RIFF, ≥1 = AVIX chunks
+        self._riff_start = 0        # file offset of the current RIFF header
+        self._first_riff_frames = 0
+        self._idx1_written = False
         self._write_headers()
 
     # -- container ------------------------------------------------------------
@@ -253,8 +276,9 @@ class _AVIWriterBase:
         self._riff_size_pos = f.tell(); f.write(struct.pack("<I", 0))
         f.write(b"AVI ")
 
-        # LIST hdrl (+102: the reserved audio-stream JUNK slot at the end)
-        hdrl_payload_size = 4 + 8 + 56 + 8 + 4 + 8 + 56 + 8 + 40 + 102
+        # LIST hdrl (+24: LIST odml → dmlh; +102: the reserved audio-stream
+        # JUNK slot at the end)
+        hdrl_payload_size = 4 + 8 + 56 + 8 + 4 + 8 + 56 + 8 + 40 + 24 + 102
         f.write(b"LIST" + struct.pack("<I", hdrl_payload_size) + b"hdrl")
 
         # avih: MainAVIHeader
@@ -305,6 +329,14 @@ class _AVIWriterBase:
             self.w * self.h * 3, 0, 0, 0, 0,
         ))
 
+        # LIST odml → dmlh: the ODML extended header whose dwTotalFrames
+        # counts frames across ALL RIFF chunks (avih's counts only the first
+        # RIFF once the container rolls into AVIX continuations)
+        f.write(b"LIST" + struct.pack("<I", 4 + 8 + 4) + b"odml")
+        f.write(b"dmlh" + struct.pack("<I", 4))
+        self._dmlh_pos = f.tell()
+        f.write(struct.pack("<I", 0))  # dwTotalFrames (patched in close)
+
         # reserved audio slot: legal-AVI JUNK padding that embed_wav_audio()
         # later rewrites into the audio stream's LIST strl (same byte count)
         f.write(b"JUNK" + struct.pack("<I", self._AUDIO_SLOT_PAYLOAD))
@@ -318,19 +350,74 @@ class _AVIWriterBase:
         f.write(b"movi")
 
     def _append_chunk(self, payload) -> None:
-        """Append one frame chunk (bytes or any buffer-protocol object)."""
+        """Append one frame chunk (bytes or any buffer-protocol object),
+        rolling into a new ``RIFF AVIX`` continuation when the current RIFF
+        would exceed :attr:`_RIFF_LIMIT`."""
         if self._closed:
             raise ValueError("writer is closed")
         size = len(payload) if isinstance(payload, bytes) else payload.nbytes
-        self._index.append((self._movi_bytes, size))
+        padded = size + (size & 1)
         f = self._file
+        if self._movi_bytes > 4:  # never roll an empty movi
+            # idx1 lands inside the first RIFF at rollover; budget for it
+            idx1_reserve = (
+                8 + 16 * (len(self._index) + 1) if self._riff_index == 0
+                else 0
+            )
+            projected = (f.tell() - self._riff_start) + 8 + padded
+            if projected + idx1_reserve > self._RIFF_LIMIT:
+                self._roll_riff()
+        if self._riff_index == 0:
+            self._index.append((self._movi_bytes, size))
+        self._total_frames += 1
         f.write(self._CHUNK_ID + struct.pack("<I", size))
         f.write(payload)
-        padded = size + (size & 1)
         if size & 1:
             f.write(b"\x00")
         self._movi_bytes += 8 + padded
         self._max_chunk = max(self._max_chunk, size)
+
+    def _write_idx1(self) -> None:
+        """Write the legacy idx1 index (first-RIFF frames only) at the
+        current file position."""
+        f = self._file
+        f.write(b"idx1" + struct.pack("<I", 16 * len(self._index)))
+        for offset, size in self._index:
+            f.write(self._CHUNK_ID + struct.pack(
+                "<III", self._AVIIF_KEYFRAME, offset, size
+            ))
+        self._first_riff_frames = len(self._index)
+        self._idx1_written = True
+
+    def _patch_riff_sizes(self) -> None:
+        """Back-patch the current RIFF and movi LIST sizes from the current
+        end of file, leaving the file position at the end."""
+        f = self._file
+        end = f.tell()
+        f.seek(self._riff_size_pos)
+        f.write(struct.pack("<I", end - self._riff_size_pos - 4))
+        f.seek(self._movi_size_pos)
+        f.write(struct.pack("<I", self._movi_bytes))
+        f.seek(end)
+
+    def _roll_riff(self) -> None:
+        """Close the current RIFF (writing idx1 if it is the first) and open
+        a ``RIFF AVIX → LIST movi`` continuation."""
+        f = self._file
+        if self._riff_index == 0:
+            self._write_idx1()
+        self._patch_riff_sizes()
+        self._riff_start = f.tell()
+        f.write(b"RIFF")
+        self._riff_size_pos = f.tell()
+        f.write(struct.pack("<I", 0))
+        f.write(b"AVIX")
+        f.write(b"LIST")
+        self._movi_size_pos = f.tell()
+        f.write(struct.pack("<I", 0))
+        f.write(b"movi")
+        self._movi_bytes = 4
+        self._riff_index += 1
 
     def encode_frame(self, frame_bgr: np.ndarray):
         """Turn one BGR frame into its chunk payload — pure CPU work with no
@@ -352,27 +439,25 @@ class _AVIWriterBase:
         self._finalize()
 
     def _finalize(self) -> None:
-        """Write idx1 at the current file position and back-patch the header
-        sizes from ``_index``/``_movi_bytes``/``_max_chunk``."""
+        """Write idx1 (single-RIFF containers; multi-RIFF ones wrote it at
+        the first rollover) and back-patch the header sizes from
+        ``_index``/``_movi_bytes``/``_max_chunk``/``_total_frames``."""
         f = self._file
-        # idx1
-        f.write(b"idx1" + struct.pack("<I", 16 * len(self._index)))
-        for offset, size in self._index:
-            f.write(self._CHUNK_ID + struct.pack(
-                "<III", self._AVIIF_KEYFRAME, offset, size
-            ))
-        end = f.tell()
-        f.seek(self._riff_size_pos)
-        f.write(struct.pack("<I", end - self._riff_size_pos - 4))
+        total = self._total_frames or len(self._index)
+        if not self._idx1_written:
+            self._write_idx1()
+        self._patch_riff_sizes()
         f.seek(self._avih_pos + 16)
-        f.write(struct.pack("<I", len(self._index)))       # dwTotalFrames
+        # dwTotalFrames counts the FIRST RIFF's frames (ODML semantics);
+        # dmlh carries the cross-RIFF total — identical for single-RIFF files
+        f.write(struct.pack("<I", self._first_riff_frames))
         f.seek(self._avih_pos + 28)
         f.write(struct.pack("<I", self._max_chunk + 8))    # dwSuggestedBufferSize
         f.seek(self._strh_pos + 8 + 4 + 2 + 2 + 4 + 4 + 4 + 4)
-        f.write(struct.pack("<I", len(self._index)))       # dwLength
+        f.write(struct.pack("<I", total))                  # dwLength
         f.write(struct.pack("<I", self._max_chunk + 8))    # dwSuggestedBufferSize
-        f.seek(self._movi_size_pos)
-        f.write(struct.pack("<I", self._movi_bytes))
+        f.seek(self._dmlh_pos)
+        f.write(struct.pack("<I", total))
         f.close()
 
     def __enter__(self):
@@ -498,7 +583,34 @@ class PreallocRawAVIWriter(_AVIWriterBase):
         f = self._file
         f.flush()
         self._movi_data_start = f.tell()
-        total = self._movi_data_start + self.max_frames * self._chunk_bytes
+        # -- ODML layout: a fixed chunk size makes the whole multi-RIFF
+        # geometry computable up front. K0 frames fit the first RIFF next to
+        # its idx1 (16 B/frame) and header; K frames fit each 24-byte-header
+        # AVIX continuation. Single-RIFF files (the common case) keep the
+        # exact legacy layout.
+        k0 = (self._RIFF_LIMIT - self._movi_data_start - 8) // (
+            self._chunk_bytes + 16
+        )
+        k = (self._RIFF_LIMIT - 24) // self._chunk_bytes
+        if k0 < 1 or k < 1:
+            raise ValueError(
+                f"one {self._frame_bytes}-byte frame exceeds the "
+                f"{self._RIFF_LIMIT}-byte RIFF limit"
+            )
+        self._k0 = int(k0)
+        self._k = int(k)
+        if self.max_frames <= self._k0:
+            self._riff0_end = None  # single RIFF: no continuation geometry
+            total = self._movi_data_start + self.max_frames * self._chunk_bytes
+        else:
+            self._riff0_end = (self._movi_data_start
+                               + self._k0 * self._chunk_bytes
+                               + 8 + 16 * self._k0)
+            n_avix = -(-(self.max_frames - self._k0) // self._k)
+            last = self.max_frames - self._k0 - (n_avix - 1) * self._k
+            self._avix_stride = 24 + self._k * self._chunk_bytes
+            total = (self._riff0_end + (n_avix - 1) * self._avix_stride
+                     + 24 + last * self._chunk_bytes)
         # posix_fallocate, not ftruncate: ftruncate leaves a hole and every
         # first-touch write then pays a page-allocation fault — measured
         # 47 ms/frame (15 s per 1080p clip) on a lazily-backed VM vs 0.17 s
@@ -512,15 +624,33 @@ class PreallocRawAVIWriter(_AVIWriterBase):
         hdr = self._CHUNK_ID + struct.pack("<I", self._frame_bytes)
         hdr_arr = np.frombuffer(hdr, np.uint8)
         for i in range(self.max_frames):
-            off = self._movi_data_start + i * self._chunk_bytes
+            off = self._payload_offset(i) - 8
             self._arr[off : off + 8] = hdr_arr
+        if self._riff0_end is not None:
+            # AVIX continuation headers at their fixed offsets (sizes are
+            # patched in close once the final frame count is known)
+            avix_hdr = np.frombuffer(
+                b"RIFF\x00\x00\x00\x00AVIXLIST\x00\x00\x00\x00movi", np.uint8
+            )
+            n_avix = -(-(self.max_frames - self._k0) // self._k)
+            for r in range(n_avix):
+                off = self._riff0_end + r * self._avix_stride
+                self._arr[off : off + 24] = avix_hdr
         self._committed = np.zeros(self.max_frames, bool)
+
+    def _payload_offset(self, i: int) -> int:
+        """File offset of frame ``i``'s pixel payload."""
+        if self._riff0_end is None or i < self._k0:
+            return self._movi_data_start + i * self._chunk_bytes + 8
+        r, j = divmod(i - self._k0, self._k)
+        return (self._riff0_end + r * self._avix_stride + 24
+                + j * self._chunk_bytes + 8)
 
     def frame_view(self, i: int) -> np.ndarray:
         """(H, W, 3) uint8 view of frame ``i``'s payload in the output file."""
         if not 0 <= i < self.max_frames:
             raise IndexError(f"frame {i} out of range 0..{self.max_frames - 1}")
-        off = self._movi_data_start + i * self._chunk_bytes + 8
+        off = self._payload_offset(i)
         return self._arr[off : off + self._frame_bytes].reshape(
             self.h, self.w, 3
         )
@@ -564,11 +694,6 @@ class PreallocRawAVIWriter(_AVIWriterBase):
                 f"committed frames are not a prefix: frame {missing} missing "
                 f"with {n} total commits"
             )
-        self._index = [
-            (4 + i * self._chunk_bytes, self._frame_bytes) for i in range(n)
-        ]
-        self._movi_bytes = 4 + n * self._chunk_bytes
-        self._max_chunk = self._frame_bytes if n else 0
         del self._arr
         self._mm.flush()
         try:
@@ -577,9 +702,56 @@ class PreallocRawAVIWriter(_AVIWriterBase):
             pass  # a stray frame view is still alive; MAP_SHARED pages are
             # already in the file, so finalizing via the fd below is safe
         f = self._file
-        f.seek(self._movi_data_start + n * self._chunk_bytes)
+        if self._riff0_end is None or n <= self._k0:
+            # single RIFF (possibly truncating away preallocated AVIX
+            # continuations that ended up unused) — exact legacy layout
+            self._index = [
+                (4 + i * self._chunk_bytes, self._frame_bytes)
+                for i in range(n)
+            ]
+            self._movi_bytes = 4 + n * self._chunk_bytes
+            self._max_chunk = self._frame_bytes if n else 0
+            self._total_frames = n
+            f.seek(self._movi_data_start + n * self._chunk_bytes)
+            f.truncate()
+            self._finalize()
+            return
+        # multi-RIFF: idx1 (first-RIFF frames) lands in its reserved slot,
+        # each used AVIX gets its sizes patched, unused tail truncated
+        self._index = [
+            (4 + i * self._chunk_bytes, self._frame_bytes)
+            for i in range(self._k0)
+        ]
+        self._movi_bytes = 4 + self._k0 * self._chunk_bytes
+        self._max_chunk = self._frame_bytes
+        self._total_frames = n
+        f.seek(self._movi_data_start + self._k0 * self._chunk_bytes)
+        self._write_idx1()
+        assert f.tell() == self._riff0_end, (f.tell(), self._riff0_end)
+        self._patch_riff_sizes()  # RIFF#0 + movi#0 (positions from init)
+        n_used = -(-(n - self._k0) // self._k)
+        for r in range(n_used):
+            frames_r = min(self._k, n - self._k0 - r * self._k)
+            start = self._riff0_end + r * self._avix_stride
+            movi_size = 4 + frames_r * self._chunk_bytes
+            f.seek(start + 4)
+            f.write(struct.pack("<I", 4 + 8 + movi_size))  # 'AVIX' + LIST
+            f.seek(start + 16)
+            f.write(struct.pack("<I", movi_size))
+        f.seek(self._riff0_end + (n_used - 1) * self._avix_stride + 24
+               + (n - self._k0 - (n_used - 1) * self._k) * self._chunk_bytes)
         f.truncate()
-        self._finalize()
+        # header patches normally done by _finalize (idx1 is already placed)
+        f.seek(self._avih_pos + 16)
+        f.write(struct.pack("<I", self._first_riff_frames))
+        f.seek(self._avih_pos + 28)
+        f.write(struct.pack("<I", self._max_chunk + 8))
+        f.seek(self._strh_pos + 8 + 4 + 2 + 2 + 4 + 4 + 4 + 4)
+        f.write(struct.pack("<I", n))
+        f.write(struct.pack("<I", self._max_chunk + 8))
+        f.seek(self._dmlh_pos)
+        f.write(struct.pack("<I", n))
+        f.close()
 
 
 def ram_backed_bytes_free(path: str) -> int:
@@ -762,6 +934,11 @@ def embed_wav_audio(avi_path: str, wav_path: str) -> bool:
             return False
         if idx1_off != movi_off + 8 + movi_size + (movi_size & 1):
             return False  # unexpected layout (not one of ours)
+        if idx1_off + 8 + idx1_size + (idx1_size & 1) < file_end:
+            # data after idx1 — an ODML multi-RIFF (>limit) container whose
+            # AVIX continuations the append below would overwrite, or some
+            # foreign trailer; either way leave the file untouched
+            return False
 
         # -- find avih and the reserved JUNK slot inside hdrl ---------------
         f.seek(hdrl_off + 4)
