@@ -21,6 +21,9 @@ the reference batch size).
 Env knobs: W2L_BENCH_SECONDS (default 10), W2L_BENCH_RES (default 1080),
 W2L_BENCH_BATCH (default 128), W2L_BENCH_DETECT=0 to skip the detector legs,
 W2L_BENCH_DETECT_RES (default 480), W2L_BENCH_TRAIN=0 to skip the train leg,
+W2L_BENCH_REPEATS / W2L_BENCH_LATE_REPEATS (defaults 4 / 3): primary-leg runs
+sampled back-to-back at the start and again after the other legs (late window,
+decorrelated from the first — the link swings over minutes),
 W2L_BENCH_DEADLINE_S (default 2400): wall deadline after which whatever legs
 completed are printed with ``"partial": true`` — the tunneled device link
 has been observed to wedge outright for hours, and a partial record beats an
@@ -218,6 +221,34 @@ def main():
              _train_bench_mesh)
 
     _leg("mel_frames_per_sec_fused", _mel_bench)
+
+    # Late-window re-sample of the primary leg. The tunnel's load swings
+    # correlate over minutes, so N back-to-back runs can all land in one bad
+    # window (observed: identical code measured 137.7 vs 107.1 f/s in runs
+    # hours apart, with every run of the slow set slow). The detect/train
+    # legs above took minutes of wall time — sampling again here decorrelates
+    # best-of-N from a single window. Every wall time stays in runs_s, so the
+    # spread remains visible in the artifact. Runs BEFORE the MFU leg, which
+    # derives achieved-TFLOP/s from the final "value".
+    try:
+        for _ in range(int(os.environ.get("W2L_BENCH_LATE_REPEATS", "3"))):
+            t0 = time.time()
+            pipe.run(video, wav, os.path.join(tmp, "out.mp4"), temp_dir=tmp)
+            run_dt = time.time() - t0
+            runs.append(round(run_dt, 3))
+            if run_dt < dt:
+                dt = run_dt
+                stages = {k: round(v, 3)
+                          for k, v in pipe.timings.as_dict().items()}
+        result.update({
+            "value": round(frames / dt, 2),
+            "vs_baseline": round(frames / dt / fps / 5.0, 3),
+            "wall_s": round(dt, 3),
+            "runs_s": runs,
+            "stages": stages,
+        })
+    except Exception as e:  # noqa: BLE001 — keep the early-window numbers
+        result.setdefault("leg_errors", {})["late_repeats"] = repr(e)[:200]
 
     _leg("mfu", _mfu_leg, result)
 
