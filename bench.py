@@ -619,29 +619,34 @@ def _train_e2e_bench(tmp, steps=8, batch=16):
     train_step, _ = make_gan_steps(gen_tx, disc_tx, donate=True)
     wt, dwt = np.float32(0.03), np.float32(0.07)
 
+    from wav2lip_tpu.utils.transfer import DevicePrefetcher, put_batch
+
+    # the real trainers' feed path (trainers.py _feed): a background thread
+    # uploads batch k+1 over the sharded transfer streams while step k runs,
+    # so the host->device hop leaves the critical path
+    feed = DevicePrefetcher(loader, put=put_batch, depth=2)
     try:
-        # warmup/compile (excluded), then the timed trainer loop: batch
-        # fetch (input-pipeline wait) -> upload -> step
+        # warmup/compile (excluded), then the timed trainer loop: device
+        # batch fetch (input pipeline + any unhidden upload) -> step
         gs, ds, m = train_step(gen_state, disc_state, sync_vars,
-                               jax.device_put(next(loader)), wt, dwt,
-                               use_sync=True)
+                               next(feed), wt, dwt, use_sync=True)
         jax.block_until_ready(m)
         wait_s = 0.0
         t0 = _t.time()
         for _ in range(steps):
             tw = _t.time()
-            host_batch = next(loader)
+            dev_batch = next(feed)
             wait_s += _t.time() - tw
-            gs, ds, m = train_step(gs, ds, sync_vars,
-                                   jax.device_put(host_batch), wt, dwt,
+            gs, ds, m = train_step(gs, ds, sync_vars, dev_batch, wt, dwt,
                                    use_sync=True)
         jax.block_until_ready(m)
         dt = _t.time() - t0
     finally:
+        feed.close()
         loader.close()
     RESULT["train_e2e_stages"] = {
         "input_wait_s_per_step": round(wait_s / steps, 3),
-        "step_plus_upload_s_per_step": round((dt - wait_s) / steps, 3),
+        "step_s_per_step": round((dt - wait_s) / steps, 3),
     }
     return round(steps / dt, 3)
 

@@ -893,10 +893,16 @@ def embed_wav_audio(avi_path: str, wav_path: str) -> bool:
     reader (ffmpeg/libav, VLC, mpv, OpenCV) seeks streams via ``idx1`` and
     plays this fine.
 
+    Multi-RIFF (OpenDML >limit) containers embed too: their first RIFF is
+    full and AVIX continuations follow idx1, so instead of the idx1
+    overwrite the PCM appends as final ``RIFF AVIX → LIST movi``
+    continuation(s) — ODML readers discover those by the same sequential
+    scan that finds the video AVIX chunks.
+
     Returns True on success; False when the container lacks the slot (e.g.
-    a cv2-written file) or the wav is unreadable — callers fall back to the
-    silent-video warning. Replaces the reference's hard ffmpeg dependency for
-    wav inputs (inference.py:276-277).
+    a cv2-written file), carries a foreign non-AVIX trailer, or the wav is
+    unreadable — callers fall back to the silent-video warning. Replaces the
+    reference's hard ffmpeg dependency for wav inputs (inference.py:276-277).
     """
     loaded = _wav_pcm16(wav_path)
     if loaded is None:
@@ -914,8 +920,13 @@ def embed_wav_audio(avi_path: str, wav_path: str) -> bool:
             return False
 
         # -- walk the top-level chunks to find hdrl / movi / idx1 ----------
+        # ODML multi-RIFF (>limit) containers carry ``RIFF AVIX`` chunks
+        # after the first RIFF's idx1; those are legal continuations of our
+        # own writers and the audio appends as one more AVIX at the end.
+        # Anything else after idx1 is a foreign trailer → leave untouched.
         hdrl_off = movi_off = idx1_off = None
         movi_size = idx1_size = 0
+        saw_avix, trailer_ok = False, True
         pos = 12
         file_end = os.path.getsize(avi_path)
         while pos + 8 <= file_end:
@@ -925,20 +936,24 @@ def embed_wav_audio(avi_path: str, wav_path: str) -> bool:
                 ltype = f.read(4)
                 if ltype == b"hdrl":
                     hdrl_off = pos
-                elif ltype == b"movi":
+                elif ltype == b"movi" and movi_off is None:
                     movi_off, movi_size = pos, csize
             elif cid == b"idx1":
                 idx1_off, idx1_size = pos, csize
+            elif cid == b"RIFF" and f.read(4) == b"AVIX":
+                saw_avix = True
+            elif idx1_off is not None:
+                trailer_ok = False  # unknown top-level chunk after idx1
             pos += 8 + csize + (csize & 1)
         if hdrl_off is None or movi_off is None or idx1_off is None:
             return False
         if idx1_off != movi_off + 8 + movi_size + (movi_size & 1):
             return False  # unexpected layout (not one of ours)
-        if idx1_off + 8 + idx1_size + (idx1_size & 1) < file_end:
-            # data after idx1 — an ODML multi-RIFF (>limit) container whose
-            # AVIX continuations the append below would overwrite, or some
-            # foreign trailer; either way leave the file untouched
-            return False
+        first_extent = idx1_off + 8 + idx1_size + (idx1_size & 1)
+        if not saw_avix and first_extent < file_end:
+            return False  # foreign (non-AVIX) trailer
+        if saw_avix and (not trailer_ok or pos != file_end):
+            return False  # AVIX run interleaved with foreign/truncated data
 
         # -- find avih and the reserved JUNK slot inside hdrl ---------------
         f.seek(hdrl_off + 4)
@@ -986,7 +1001,55 @@ def embed_wav_audio(avi_path: str, wav_path: str) -> bool:
         f.seek(avih_payload + 24)
         f.write(struct.pack("<I", 2))
 
-        # -- 3. append audio chunks over the old idx1, rewrite idx1 ---------
+        # -- 3. append the audio chunks -------------------------------------
+        if saw_avix:
+            # Multi-RIFF (OpenDML) container: the first RIFF is full and
+            # AVIX continuations follow its idx1, so the in-place
+            # overwrite-idx1 path below would clobber video. Instead the
+            # PCM appends as one more ``RIFF AVIX → LIST movi`` at EOF —
+            # ODML readers discover continuation chunks by sequential scan
+            # (same mechanism that finds the video AVIX chunks; idx1 only
+            # ever indexes the first RIFF). Audio chunks roll into further
+            # AVIX continuations at the writer's RIFF limit like video does.
+            pcm_bytes = memoryview(pcm).cast("B")
+            f.seek(0, 2)
+            riff_size_pos = movi_size_pos = None
+            movi_bytes = 0
+
+            def _open_avix():
+                nonlocal riff_size_pos, movi_size_pos, movi_bytes
+                f.write(b"RIFF")
+                riff_size_pos = f.tell(); f.write(struct.pack("<I", 0))
+                f.write(b"AVIX" + b"LIST")
+                movi_size_pos = f.tell(); f.write(struct.pack("<I", 0))
+                f.write(b"movi")
+                movi_bytes = 4
+
+            def _close_avix():
+                end = f.tell()
+                f.seek(riff_size_pos)
+                f.write(struct.pack("<I", end - riff_size_pos - 4))
+                f.seek(movi_size_pos)
+                f.write(struct.pack("<I", movi_bytes))
+                f.seek(end)
+
+            _open_avix()
+            limit = _AVIWriterBase._RIFF_LIMIT
+            for start in range(0, len(pcm_bytes), max_chunk):
+                part = pcm_bytes[start:start + max_chunk]
+                padded = len(part) + (len(part) & 1)
+                if movi_bytes > 4 and movi_bytes + 8 + padded + 20 > limit:
+                    _close_avix()
+                    _open_avix()
+                f.write(b"01wb" + struct.pack("<I", len(part)))
+                f.write(part)
+                if len(part) & 1:
+                    f.write(b"\x00")
+                movi_bytes += 8 + padded
+            _close_avix()
+            return True
+
+        # -- 3b. single RIFF: append audio over the old idx1, rewrite idx1 --
         old_index = []
         f.seek(idx1_off + 8)
         raw = f.read(idx1_size)

@@ -33,7 +33,6 @@ from wav2lip_tpu.models import Wav2LipGenerator, SyncNet, QualityDiscriminator
 from wav2lip_tpu.parallel import (
     global_batch_from_local,
     make_mesh,
-    shard_batch,
 )
 from wav2lip_tpu.train import checkpoint as ckpt_lib
 from wav2lip_tpu.train.state import TrainState
@@ -101,12 +100,29 @@ class _BaseTrainer:
         return None if dt in (None, "float32") else jnp.dtype(dt)
 
     def _shard(self, batch):
-        """Single host: place with batch-axis sharding. Multi-host: each
-        process contributes its local slice of the global batch
-        (DCN input sharding, SURVEY.md §2 parallelism table)."""
+        """Single host: fused multi-stream upload with batch-axis sharding
+        (utils/transfer.put_batch — bandwidth-bound, one latency window for
+        the whole batch). Multi-host: each process contributes its local
+        slice of the global batch (DCN input sharding, SURVEY.md §2
+        parallelism table)."""
         if jax.process_count() > 1:
             return global_batch_from_local(self.mesh, batch)
-        return shard_batch(self.mesh, batch)
+        from wav2lip_tpu.utils.transfer import put_batch
+
+        return put_batch(batch, self.mesh)
+
+    def _feed(self, host_iter, transform=None):
+        """Double-buffered device feeder for the fit loops: a background
+        thread ships batch k+1 over the sharded transfer streams while step
+        k runs, so the host→device upload leaves the critical path (the
+        reference keeps 16 DataLoader workers busy for the same reason but
+        still pays a blocking ``.to(device)`` per step,
+        hq_wav2lip_train.py:404-410 / wav2lip_train.py:215-218)."""
+        from wav2lip_tpu.utils.transfer import DevicePrefetcher
+
+        put = (self._shard if transform is None
+               else lambda b: self._shard(transform(b)))
+        return DevicePrefetcher(host_iter, put=put)
 
     @property
     def _is_primary(self) -> bool:
@@ -234,26 +250,32 @@ class SyncNetTrainer(_BaseTrainer):
         self._heartbeat_reset("syncnet", max_steps)
         running, seen = 0.0, 0
         last = {}
-        while self.global_step < max_steps:
-            faces, mel, y = next(train_iter)
-            self.state, metrics = self.train_step(
-                self.state, *self._shard((mel, faces, y))
-            )
-            self.global_step += 1
-            self._tick_epoch(steps_per_epoch)
-            self._log_train(metrics)
-            self._heartbeat(metrics)
-            # accumulate the DEVICE scalar: float() here would block the
-            # host every step and defeat async dispatch
-            running = running + metrics["loss"]; seen += 1
-            if (self.global_step == 1
-                    or self.global_step % tcfg.syncnet_checkpoint_interval == 0
-                    or self.global_step == max_steps):
-                self.save(checkpoint_dir)
-            if (val_iter is not None
-                    and self.global_step % tcfg.syncnet_eval_interval == 0):
-                last = self.evaluate(val_iter, eval_batches)
-                self.metrics_logger.log(self.global_step, last, prefix="eval")
+        # the sampler yields (faces, mel, y); the step takes (mel, faces, y)
+        feed = self._feed(train_iter, transform=lambda b: (b[1], b[0], b[2]))
+        try:
+            while self.global_step < max_steps:
+                sharded = next(feed)
+                self.state, metrics = self.train_step(self.state, *sharded)
+                self.global_step += 1
+                self._tick_epoch(steps_per_epoch)
+                self._log_train(metrics)
+                self._heartbeat(metrics)
+                # accumulate the DEVICE scalar: float() here would block the
+                # host every step and defeat async dispatch
+                running = running + metrics["loss"]; seen += 1
+                if (self.global_step == 1
+                        or self.global_step % tcfg.syncnet_checkpoint_interval
+                        == 0
+                        or self.global_step == max_steps):
+                    self.save(checkpoint_dir)
+                if (val_iter is not None
+                        and self.global_step % tcfg.syncnet_eval_interval
+                        == 0):
+                    last = self.evaluate(val_iter, eval_batches)
+                    self.metrics_logger.log(self.global_step, last,
+                                            prefix="eval")
+        finally:
+            feed.close()
         avg = float(running) / max(seen, 1)
         self.log(f"[syncnet] avg train loss {avg:.4f}")
         return last or {"loss": avg}
@@ -347,8 +369,9 @@ class Wav2LipTrainer(_BaseTrainer):
             )
             self.wt_after_trigger = tcfg.syncnet_wt_after_trigger  # 0.01
 
-    def _step(self, batch):
-        sharded = self._shard(batch)
+    def _step(self, sharded):
+        """One update on an already device-placed batch (the fit loop's
+        prefetcher uploads it while the previous step runs)."""
         wt = np.float32(self.syncnet_wt)
         if self.gan:
             # drive the two exposed programs directly so the generated
@@ -383,28 +406,34 @@ class Wav2LipTrainer(_BaseTrainer):
         self._heartbeat_reset("gan" if self.gan else "wav2lip", max_steps)
         last = {}
         t0 = time.time()
-        while self.global_step < max_steps:
-            batch = next(train_iter)
-            metrics, g = self._step(batch)
-            self.global_step += 1
-            self._tick_epoch(steps_per_epoch)
-            self._log_train(metrics)
-            self._heartbeat(metrics)
-            if (self.global_step == 1
-                    or self.global_step % tcfg.checkpoint_interval == 0
-                    or self.global_step == max_steps):
-                if dump_samples and g is not None and self._is_primary:
-                    save_sample_images(batch["x"], _local_rows(g),
-                                       batch["gt"], self.global_step,
-                                       checkpoint_dir)
-                self.save(checkpoint_dir)
-            if (val_iter is not None
-                    and self.global_step % tcfg.eval_interval == 0):
-                last = self.evaluate(val_iter, eval_batches)
-                self.metrics_logger.log(self.global_step, last, prefix="eval")
-                # curriculum trigger (wav2lip_train.py:249-254)
-                if last["sync"] < tcfg.sync_loss_curriculum_threshold:
-                    self.syncnet_wt = self.wt_after_trigger
+        feed = self._feed(train_iter)
+        try:
+            while self.global_step < max_steps:
+                batch = next(feed)  # device-resident (prefetched upload)
+                metrics, g = self._step(batch)
+                self.global_step += 1
+                self._tick_epoch(steps_per_epoch)
+                self._log_train(metrics)
+                self._heartbeat(metrics)
+                if (self.global_step == 1
+                        or self.global_step % tcfg.checkpoint_interval == 0
+                        or self.global_step == max_steps):
+                    if dump_samples and g is not None and self._is_primary:
+                        save_sample_images(_local_rows(batch["x"]),
+                                           _local_rows(g),
+                                           _local_rows(batch["gt"]),
+                                           self.global_step, checkpoint_dir)
+                    self.save(checkpoint_dir)
+                if (val_iter is not None
+                        and self.global_step % tcfg.eval_interval == 0):
+                    last = self.evaluate(val_iter, eval_batches)
+                    self.metrics_logger.log(self.global_step, last,
+                                            prefix="eval")
+                    # curriculum trigger (wav2lip_train.py:249-254)
+                    if last["sync"] < tcfg.sync_loss_curriculum_threshold:
+                        self.syncnet_wt = self.wt_after_trigger
+        finally:
+            feed.close()
         dt = time.time() - t0
         self.log(
             f"[train] {self.global_step} steps in {dt:.1f}s "

@@ -14,8 +14,10 @@ No reference equivalent — the reference's host↔device traffic is implicit in
 from __future__ import annotations
 
 import functools
+import queue
+import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import List, Optional, Sequence
+from typing import Callable, List, Optional, Sequence
 
 import jax
 import numpy as np
@@ -210,6 +212,135 @@ def _concat_split(group, sizes):
     """Ravel+concat a tuple of same-dtype device arrays into ``len(sizes)``
     flat chunks, on device (module-level jit: cached per signature)."""
     return _concat_split_jit(group, sizes)
+
+
+def put_batch(batch, mesh=None):
+    """Upload one training batch (pytree of host arrays) bandwidth-bound,
+    placed exactly as :func:`wav2lip_tpu.parallel.shard_batch` would place it.
+
+    Single device (or no mesh): same-dtype leaves fuse into flat buffers
+    that cross as 8 concurrent chunks and re-split ON DEVICE
+    (:func:`put_tree`) — one latency window for the whole batch instead of
+    one per leaf. With a 1-device mesh the result is re-homed to the
+    batch-axis ``NamedSharding`` (same-device, no host round trip) so jit
+    cache keys match the synchronous ``shard_batch`` path.
+
+    Multi-device mesh: per-leaf concurrent per-device shard uploads
+    (:func:`put_mesh_batch`; each leaf already moves on ``n_devices``
+    streams); leaves whose leading dim does not divide the mesh replicate,
+    mirroring ``shard_batch``'s fallback.
+
+    No reference equivalent — the reference's upload is the blocking
+    ``.to(device)`` on the step path (wav2lip_train.py:215-218).
+    """
+    from wav2lip_tpu.parallel.mesh import batch_sharded, replicated
+
+    if mesh is None or mesh.devices.size == 1:
+        tree = put_tree(batch)
+        if mesh is None:
+            return tree
+        return jax.tree.map(
+            lambda x: jax.device_put(
+                x, batch_sharded(mesh, max(np.ndim(x), 1))
+                if np.ndim(x) >= 1 else replicated(mesh)
+            ),
+            tree,
+        )
+    n = mesh.devices.size
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim >= 1 and x.shape[0] % n == 0:
+            return put_mesh_batch(x, mesh)
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree.map(put, batch)
+
+
+class DevicePrefetcher:
+    """Double-buffered host→device batch feeder.
+
+    Wraps a host batch iterator: a background thread ships batch ``k+1``
+    over the concurrent transfer streams while the consumer's step ``k``
+    runs on device, taking the upload off the training critical path.
+    ``put`` maps a host batch to its device placement (defaults to
+    :func:`put_batch` on ``mesh``); ``depth`` bounds how many device
+    batches sit ready (backpressure for infinite samplers).
+
+    Worker errors re-raise at the consumer's next ``next()``; a source
+    ``StopIteration`` ends the stream. ``close()`` retires the thread.
+
+    Reference anchor: 16 DataLoader workers exist precisely to keep the
+    device fed (hq_wav2lip_train.py:404-410), but the reference still pays
+    the blocking ``.to(device)`` per step; here the upload overlaps compute.
+    """
+
+    _SENTINEL = object()
+
+    def __init__(self, host_iter, mesh=None, depth: int = 2,
+                 put: Optional[Callable] = None):
+        self._put = put if put is not None else (lambda b: put_batch(b, mesh))
+        self._it = iter(host_iter)
+        self._q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+        self._stop = threading.Event()
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(
+            target=self._run, daemon=True, name="w2l-prefetch"
+        )
+        self._thread.start()
+
+    def _run(self):
+        try:
+            while not self._stop.is_set():
+                try:
+                    item = next(self._it)
+                except StopIteration:
+                    break
+                dev = self._put(item)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(dev, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # noqa: BLE001 — relayed to the consumer
+            self._err = e
+        finally:
+            while not self._stop.is_set():
+                try:
+                    self._q.put(self._SENTINEL, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._SENTINEL:
+            self._q.put(self._SENTINEL)  # keep raising on repeated next()
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+    def close(self):
+        """Stop the worker. Safe to call twice; drains the queue so a
+        blocked ``put`` observes the stop flag promptly."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=10)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def fetch_concat(shards: Sequence[jax.Array]) -> np.ndarray:
