@@ -411,22 +411,25 @@ def _detect_e2e_bench(tmp, fps, seconds=4.0, res=720):
     # warm into the SAME path as the timed runs: reusing the preallocated
     # sink file keeps its tmpfs pages provisioned (see the primary leg)
     pipe.run(video, wav, os.path.join(tmp, "out720.mp4"), temp_dir=tmp)
-    # best of N like the primary leg (the tunneled device link's round-trip
-    # latency swings multiples run-to-run); ALL wall times are recorded in
-    # runs so weather is separable from real deltas. Warm runs are <1 s, so
-    # a couple extra repeats is cheap insurance against a stalled-tunnel
-    # window landing on the one round-end record.
+    # MEDIAN of N (N>=7): the headline is the TYPICAL run, not the best one
+    # — the tunneled device link's round-trip latency swings multiples
+    # run-to-run and an occasional run stalls outright, so best-of-N
+    # overstated the everyday number (round-4 verdict: best 125.09 f/s vs
+    # median ~114). ALL wall times are recorded in runs so weather stays
+    # separable from real deltas, and best-of-N is kept alongside as the
+    # capability number (detect_e2e_fps_720p_best).
     detector.reset_dispatch_stats()
     pipe.reset_dispatch_stats()
-    n_runs = int(os.environ.get("W2L_BENCH_DETECT_REPEATS", "5"))
-    dt, runs = float("inf"), []
+    n_runs = int(os.environ.get("W2L_BENCH_DETECT_REPEATS", "7"))
+    runs = []
     for _ in range(n_runs):
         t0 = _t.time()
         pipe.run(video, wav, os.path.join(tmp, "out720.mp4"), temp_dir=tmp)
-        run_dt = _t.time() - t0
-        runs.append(round(run_dt, 3))
-        dt = min(dt, run_dt)
+        runs.append(round(_t.time() - t0, 3))
+    dt = float(np.median(runs))
     RESULT.setdefault("leg_runs_s", {})["detect_e2e_720p"] = runs
+    RESULT["detect_e2e_fps_720p_best"] = round(
+        int(seconds * fps) / min(runs), 2)
     RESULT["detect_e2e_stages"] = {
         k: round(v, 3) for k, v in pipe.timings.as_dict().items()
     }
