@@ -389,22 +389,55 @@ def _detect_e2e_bench(tmp, fps, seconds=4.0, res=720):
     # random weights yield no faces; overwrite the DEVICE outputs with a
     # stable centered detection AFTER the full jitted forward, so every
     # host-side stage (ROI tracking, fallbacks, smoothing, crops) runs
-    # realistically while the measured path still pays full detection cost
+    # realistically while the measured path still pays full detection cost.
+    # The rewrite happens LAZILY at np.asarray time (__array__): an eager
+    # np.array here was a BLOCKING device fetch inside the dispatch call,
+    # which serialized every dispatch→fetch pair and silently defeated the
+    # round-5 dispatch-ahead pipelining the real path has (begin_tracked/
+    # finish_tracked) — the bench was measuring a sync structure the
+    # product code no longer uses.
     real_jit = detector._jit_detect
+
+    class _LazySynthetic:
+        """Device result that becomes a synthetic value when fetched."""
+
+        def __init__(self, dev, rewrite):
+            self._dev = dev
+            self._rewrite = rewrite
+
+        def copy_to_host_async(self):
+            self._dev.copy_to_host_async()
+
+        def __array__(self, dtype=None, copy=None):
+            x = np.array(self._dev)  # the real fetch happens HERE
+            out = self._rewrite(x)
+            return out.astype(dtype) if dtype is not None else out
 
     def jit_with_synthetic_box(variables, parts, factor=1):
         b, s, n = real_jit(variables, parts, factor)
-        b, s, n = (np.array(x) for x in (b, s, n))
-        # .shape is metadata — np.asarray here would fetch the whole pixel
-        # batch device->host and poison the link for the measured run
+        # .shape is metadata — fetching here would block the dispatch
         fh, fw = parts[0].shape[1:3]
         fh, fw = fh // factor, fw // factor
-        b[:] = 0.0
-        s[:] = 0.0
-        b[:, 0] = [fw * 0.3, fh * 0.25, fw * 0.7, fh * 0.75]
-        s[:, 0] = 0.99
-        n[:] = 1
-        return b, s, n
+
+        def rw_boxes(x):
+            x = x.copy()
+            x[:] = 0.0
+            x[:, 0] = [fw * 0.3, fh * 0.25, fw * 0.7, fh * 0.75]
+            return x
+
+        def rw_scores(x):
+            x = x.copy()
+            x[:] = 0.0
+            x[:, 0] = 0.99
+            return x
+
+        def rw_num(x):
+            x = x.copy()
+            x[:] = 1
+            return x
+
+        return (_LazySynthetic(b, rw_boxes), _LazySynthetic(s, rw_scores),
+                _LazySynthetic(n, rw_num))
 
     detector._jit_detect = jit_with_synthetic_box
 

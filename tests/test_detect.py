@@ -580,3 +580,84 @@ class TestRoiTracking:
         err = np.abs(np.asarray(out, np.float64)
                      - np.asarray(truth, np.float64)).max()
         assert err <= 3.0, err
+
+
+class TestDispatchAhead:
+    """Pipelined ROI-tracked detection (round-5 detect-leg RTT cuts): the
+    keyframe pre-dispatch (begin_keyframe) and the chunk dispatch/fetch
+    split (begin_tracked / finish_tracked) must return exactly the boxes
+    the synchronous path returns — they reorder link traffic, not math."""
+
+    # reuse the stubbed pipe + fixture frames, not the parent's test set
+    _pipe = TestRoiTracking._pipe
+    _moving_face_frames = staticmethod(TestRoiTracking._moving_face_frames)
+
+    def test_keyframe_prefetch_parity_and_single_dispatch(self):
+        from wav2lip_tpu.detect import RoiTracker
+
+        frames, _ = self._moving_face_frames(n=16)
+        p = self._pipe()
+        want = p.first_face_boxes(frames, tracker=RoiTracker())
+
+        p2 = self._pipe()
+        fullframe_calls = []
+        inner = p2._jit_detect
+
+        def spy(variables, parts, factor=1):
+            if np.asarray(parts[0]).shape[1:3] == frames.shape[1:3]:
+                fullframe_calls.append(1)
+            return inner(variables, parts, factor)
+
+        p2._jit_detect = spy
+        tr = RoiTracker()
+        p2.begin_keyframe(frames[0], tr)
+        assert tr.pending_keyframe is not None
+        got = p2.first_face_boxes(frames, tracker=tr)
+        assert got == want
+        assert tr.pending_keyframe is None
+        # the pre-dispatched keyframe was CONSUMED, not re-detected
+        assert len(fullframe_calls) == 1
+        # warm-tracker begin_keyframe is a no-op
+        p2.begin_keyframe(frames[0], tr)
+        assert tr.pending_keyframe is None
+
+    def test_pipelined_chunks_match_synchronous(self):
+        """Dispatch chunk B before fetching chunk A (the _AsyncBoxes
+        lookahead order) — results equal the synchronous span path."""
+        from wav2lip_tpu.detect import RoiTracker
+
+        frames, _ = self._moving_face_frames(n=25)
+        p = self._pipe()
+        want = p.first_face_boxes(frames, tracker=RoiTracker())
+
+        tr = RoiTracker()
+        head = p.first_face_boxes(frames[:1], tracker=tr)  # keyframe
+        pa = p.begin_tracked(frames[1:13], tr)
+        pb = p.begin_tracked(frames[13:25], tr)  # dispatched before A fetched
+        assert pa["taken"] == 12 and pb["taken"] == 12
+        assert tr.inflight == 24
+        got_a = p.finish_tracked(frames[1:13], pa, tr)
+        got_b = p.finish_tracked(frames[13:25], pb, tr)
+        assert tr.inflight == 0
+        assert head + got_a + got_b == want
+
+    def test_begin_tracked_budget_and_gates(self):
+        from wav2lip_tpu.detect import RoiTracker
+
+        frames, _ = self._moving_face_frames(n=30)
+        p = self._pipe(roi_refresh_every=10)
+        tr = RoiTracker()
+        assert p.begin_tracked(frames, tr) is None  # cold tracker
+        p.first_face_boxes(frames[:1], tracker=tr)  # keyframe warms it
+        # a pending keyframe (stale contract) blocks dispatch-ahead
+        tr.pending_keyframe = ("sentinel", 1.0)
+        assert p.begin_tracked(frames[1:], tr) is None
+        tr.pending_keyframe = None
+        pend = p.begin_tracked(frames[1:], tr)
+        assert pend["taken"] == 10  # capped at the refresh budget
+        assert p.begin_tracked(frames[11:], tr) is None  # budget in flight
+        p.finish_tracked(frames[1:11], pend, tr)
+        # budget consumed by since_refresh now: next frame needs a keyframe
+        assert p.begin_tracked(frames[11:], tr) is None
+        rest = p.first_face_boxes(frames[11:], tracker=tr)
+        assert None not in rest

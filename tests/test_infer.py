@@ -416,6 +416,101 @@ class TestDetectorInference:
         assert filecmp.cmp(out_a, out_b, shallow=False)
 
 
+class TestAsyncBoxesTracked:
+    """The detect thread's dispatch-ahead runner (_AsyncBoxes._run_tracked,
+    round-5 RTT cuts) must publish boxes equivalent to the synchronous
+    tracked path under a LIVE decoder: chunk c+1's crops ship while chunk
+    c's results are in flight, windows may be one chunk fresher than the
+    synchronous single-span placement, so boxes match within the ROI
+    resize-roundtrip tolerance the tracked mode already carries."""
+
+    def _pipe_and_frames(self, n=30):
+        import wav2lip_tpu.infer.pipeline as P
+        from fixtures import pixel_stub_detector
+        from wav2lip_tpu.detect import FaceDetectionPipeline
+
+        det = FaceDetectionPipeline(
+            {"params": {"w": np.zeros((1,), np.float32)}}, batch_size=8
+        )
+        det._jit_detect = pixel_stub_detector
+        pipe = LipSyncPipeline(
+            {"params": {"w": np.zeros((1,), np.float32)}},
+            detector=det, config=box_config())
+        frames = np.zeros((n, 240, 320, 3), np.uint8)
+        truth = []
+        for t in range(n):
+            x, y, size = 40 + 2 * t, 60 + t, 60
+            frames[t, y : y + size, x : x + size] = 200
+            truth.append((x, y, x + size, y + size))
+        return P, pipe, frames, truth
+
+    def test_live_decode_matches_synchronous_tracked(self):
+        import threading
+        import time
+
+        from wav2lip_tpu.detect import RoiTracker
+        from wav2lip_tpu.data.windows import smooth_boxes
+
+        n = 30
+        P, pipe, frames, truth = self._pipe_and_frames(n)
+
+        # expected: synchronous tracked detection -> pads -> smoothing
+        raw_sync = pipe._pad_boxes(
+            pipe.detector.first_face_boxes(list(frames),
+                                           tracker=RoiTracker()),
+            list(frames))
+        want = smooth_boxes(np.asarray(raw_sync), T=5)
+
+        # live decoder: frames become visible a few at a time
+        avail = [1]
+        lock = threading.Lock()
+
+        def wait_upto(k):
+            k = min(k, n)
+            while True:
+                with lock:
+                    if avail[0] >= k or avail[0] >= n:
+                        return avail[0]
+                time.sleep(0.001)
+
+        def feeder():
+            while avail[0] < n:
+                time.sleep(0.004)
+                with lock:
+                    avail[0] = min(n, avail[0] + 3)
+
+        t = threading.Thread(target=feeder, daemon=True)
+        t.start()
+        stage = P._AsyncBoxes(pipe, list(frames), chunk=8, n=n,
+                              wait_upto=wait_upto)
+        got = np.asarray([stage.get(i) for i in range(n)], np.float64)
+        t.join()
+        # get() returns (y1, y2, x1, x2); want rows are (x1, y1, x2, y2)
+        want_yx = want[:, [1, 3, 0, 2]]
+        assert np.abs(got - want_yx).max() <= 3.0
+
+    def test_short_stream_with_pending_dispatch(self):
+        """The decoder ends mid-clip while a dispatch-ahead fetch is
+        outstanding: the runner must still resolve and publish everything
+        it dispatched, and shrink to the decoded count."""
+        import wav2lip_tpu.infer.pipeline as P
+
+        n_plan, n_real = 30, 17
+        P2, pipe, frames, _ = self._pipe_and_frames(n_plan)
+
+        calls = []
+
+        def wait_upto(k):
+            calls.append(k)
+            return min(n_real, max(k, n_real))  # instantly-done short stream
+
+        stage = P._AsyncBoxes(pipe, list(frames[:n_real]), chunk=8,
+                              n=n_plan, wait_upto=wait_upto)
+        boxes = [stage.get(i) for i in range(n_real)]
+        assert stage.n == n_real
+        assert all(b is not None for b in boxes)
+
+
 class TestParallelDecode:
     """N-way banded decode into the preallocated sink (_ParallelDecode):
     byte-parity with the serial decoder on both the box path and the

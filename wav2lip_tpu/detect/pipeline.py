@@ -49,6 +49,13 @@ class RoiTracker:
     def __init__(self):
         self.last_box: Optional[Tuple[float, float, float, float]] = None
         self.since_refresh = 0
+        #: frames dispatched ahead (begin_tracked) but not yet fetched —
+        #: counts against the refresh budget so dispatch-ahead cannot sail
+        #: past a keyframe boundary
+        self.inflight = 0
+        #: pre-dispatched cold-tracker keyframe (begin_keyframe):
+        #: (device handles, scale_back) whose fetch is still in flight
+        self.pending_keyframe = None
 
 
 class FaceDetectionPipeline:
@@ -375,11 +382,10 @@ class FaceDetectionPipeline:
             boxes[i, 0] if num[i] > 0 else None for i in range(n)
         ]
 
-    def _detect_fullframe_one(self, frame: np.ndarray):
-        """Full-frame first-face box for ONE frame through a dedicated
-        (1, H, W, 3) graph — keyframes/fallbacks would otherwise pad to
-        ``batch_size`` and upload batch_size x the frame bytes for a single
-        result.
+    def _dispatch_fullframe_one(self, frame: np.ndarray):
+        """Dispatch half of :meth:`_detect_fullframe_one`: upload + jit
+        dispatch (both async) for ONE full frame; returns (device handles,
+        scale_back) for :meth:`_fetch_fullframe_one`.
 
         The ``downscale`` decimation runs on the HOST here (cv2 integer-
         factor INTER_AREA — the same box mean the in-graph pool computes,
@@ -410,42 +416,174 @@ class FaceDetectionPipeline:
             parts = (put_mesh_batch(np.ascontiguousarray(batch), self.mesh),)
         else:
             parts = tuple(put_sharded(frame[None], 1))
-        boxes, scores, num = self._dispatch(parts, f)
+        return self._dispatch(parts, f), scale_back
+
+    def _fetch_fullframe_one(self, handles, scale_back: float):
+        boxes, scores, num = handles
         boxes, num = np.asarray(boxes), np.asarray(num)
         if int(num[0]) < 1:
             return None
         return boxes[0, 0] * scale_back
 
+    def _detect_fullframe_one(self, frame: np.ndarray):
+        """Full-frame first-face box for ONE frame through a dedicated
+        (1, H, W, 3) graph — keyframes/fallbacks would otherwise pad to
+        ``batch_size`` and upload batch_size x the frame bytes for a single
+        result."""
+        return self._fetch_fullframe_one(*self._dispatch_fullframe_one(frame))
+
+    def begin_keyframe(self, frame: np.ndarray, tracker: RoiTracker) -> None:
+        """Pre-dispatch the cold-tracker keyframe detection for ``frame``
+        — which must be the FIRST frame the next tracked call will process
+        — without blocking on the result: the keyframe's link round trip
+        overlaps whatever the caller does next (the infer pipeline calls
+        this the moment frame 0 decodes, hiding the fetch under the decode
+        of the first detect chunk). No-op on a warm tracker or when a
+        keyframe is already in flight; a pre-dispatch that never gets
+        consumed (e.g. the caller errors out) is merely a wasted ~0.7 MB
+        upload."""
+        if tracker.last_box is not None or tracker.pending_keyframe is not None:
+            return
+        tracker.pending_keyframe = self._dispatch_fullframe_one(
+            np.asarray(frame))
+
+    def begin_tracked(self, frames_bgr, tracker: RoiTracker):
+        """Dispatch phase of ROI-tracked detection for a chunk of frames:
+        place ONE speculative window from the tracker's current box and
+        ship the crops WITHOUT fetching results. The caller may dispatch
+        further chunks before resolving this one with
+        :meth:`finish_tracked`, so N consecutive chunks cost ~one link
+        round trip of latency total instead of one each (the round trip,
+        not the compute, is the detection budget on a high-RTT device
+        link).
+
+        Returns an opaque pending dict whose ``"taken"`` is the number of
+        leading frames consumed (bounded by the refresh budget net of
+        frames already in flight), or None when the tracker has no box yet
+        or the budget is exhausted — the caller then runs the synchronous
+        keyframe path (:meth:`first_face_boxes_tracked`). A dispatch-ahead
+        window may be one chunk stale; that is within the speculative-span
+        staleness the interior-edge-clip fallback in the fetch phase
+        already covers."""
+        import cv2
+
+        refresh = max(1, int(self.cfg.roi_refresh_every))
+        if tracker.last_box is None or tracker.pending_keyframe is not None:
+            return None
+        budget = refresh - tracker.since_refresh - tracker.inflight
+        if budget <= 0 or not len(frames_bgr):
+            return None
+        take = min(len(frames_bgr), budget)
+        frame0 = np.asarray(frames_bgr[0])
+        h, w = frame0.shape[:2]
+        roi_out = int(self.cfg.roi_out)
+        roi_batch = int(self.cfg.roi_batch)
+        x0, y0, side = self._roi_window(tracker.last_box, h, w)
+        chunks = []  # (k0, k1, un-fetched device outs), k relative
+        for k0 in range(0, take, roi_batch):
+            k1 = min(take, k0 + roi_batch)
+            if side == roi_out:  # snapped to identity: crop is the input
+                crops = np.stack([
+                    np.asarray(frames_bgr[k])[y0 : y0 + side,
+                                              x0 : x0 + side]
+                    for k in range(k0, k1)
+                ])
+            else:
+                crops = np.stack([
+                    cv2.resize(
+                        np.asarray(frames_bgr[k])[y0 : y0 + side,
+                                                  x0 : x0 + side],
+                        (roi_out, roi_out),
+                        interpolation=cv2.INTER_AREA,
+                    )
+                    for k in range(k0, k1)
+                ])
+            chunks.append((k0, k1, self._dispatch_crops(crops)))
+        tracker.inflight += take
+        return {
+            "x0": x0, "y0": y0, "side": side, "h": h, "w": w,
+            "scale": side / float(roi_out), "chunks": chunks, "taken": take,
+        }
+
+    def finish_tracked(
+        self, frames_bgr, pending, tracker: RoiTracker
+    ) -> List[Optional[Tuple[int, int, int, int]]]:
+        """Fetch phase of :meth:`begin_tracked`: resolve the dispatched
+        crops, apply the interior-edge-clip check and the ROI-miss
+        full-frame fallback per frame, and advance the tracker.
+        ``frames_bgr`` must be the same ``pending["taken"]``-frame chunk
+        the dispatch consumed (fallbacks re-detect from it). Pendings must
+        be finished in dispatch order."""
+        x0, y0, side = pending["x0"], pending["y0"], pending["side"]
+        h, w, scale = pending["h"], pending["w"], pending["scale"]
+        take = pending["taken"]
+        tracker.inflight -= take
+        out: List[Optional[Tuple[int, int, int, int]]] = [None] * take
+        for k0, k1, handles in pending["chunks"]:
+            roi_boxes = self._fetch_crop_boxes(handles, k1 - k0)
+            for k, rb in zip(range(k0, k1), roi_boxes):
+                if rb is not None and self._box_clips_roi(
+                        rb, x0, y0, side, h, w):
+                    # detection clamped at a stale window's interior
+                    # edge: the face moved partly out — the clipped box
+                    # under-covers it, so re-detect this frame
+                    # full-frame (and re-anchor the track)
+                    rb = None
+                if rb is None:
+                    # lost in ROI — full-frame fallback for this frame
+                    fb = self._detect_fullframe_one(
+                        np.asarray(frames_bgr[k]))
+                    if fb is None:
+                        out[k] = None
+                        tracker.last_box = None
+                        tracker.since_refresh = 0
+                        continue
+                    rb_full = np.clip(fb, 0, None)
+                else:
+                    rb_full = np.clip(
+                        np.asarray(rb) * scale
+                        + np.asarray([x0, y0, x0, y0], np.float64),
+                        0, None,
+                    )
+                out[k] = tuple(int(v) for v in rb_full)
+                tracker.last_box = tuple(float(v) for v in rb_full)
+                tracker.since_refresh += 1
+        return out
+
     def first_face_boxes_tracked(
         self, frames_bgr, tracker: RoiTracker
     ) -> List[Optional[Tuple[int, int, int, int]]]:
-        """ROI-tracked first-face detection.
+        """ROI-tracked first-face detection (synchronous form).
 
         Frame 0 of a fresh tracker (and every ``roi_refresh_every`` frames)
-        is detected FULL-frame through the standard (downscaled) graph; in
-        between, each batch of frames is cropped to a square ROI around the
-        track's last box, host-resized to ``roi_out``² (sub-millisecond —
-        the region is small), and detected in one fixed-shape jitted call.
+        is detected FULL-frame through the standard (downscaled) graph —
+        consuming a :meth:`begin_keyframe` pre-dispatch when one is in
+        flight; in between, frames run as speculative spans: ONE window
+        (from the last fetched box) covers every frame to the next
+        keyframe, sub-chunks dispatch back-to-back without waiting on each
+        other (:meth:`begin_tracked`) and fetch in a second phase
+        (:meth:`finish_tracked`), so a whole span costs ~one round trip.
         A frame whose ROI yields no face falls back to full-frame detection
         of that frame; only a full-frame miss reports None (same contract
         as the untracked path). Box drift vs full-frame detection is
         sub-pixel-to-low-single-digit px, consumed by pads + 5-frame
-        smoothing + the 96² crop resize (inference.py:59-66,121-154)."""
-        import cv2
-
+        smoothing + the 96² crop resize (inference.py:59-66,121-154).
+        Staleness is safe: the window is ~2.2x the face and a face that
+        outruns it within a span lands in the full-frame fallback."""
         n = len(frames_bgr)
         out: List[Optional[Tuple[int, int, int, int]]] = [None] * n
         refresh = max(1, int(self.cfg.roi_refresh_every))
-        roi_out = int(self.cfg.roi_out)
-        roi_batch = int(self.cfg.roi_batch)
         i = 0
         while i < n:
             frame = np.asarray(frames_bgr[i])
-            h, w = frame.shape[:2]
             if (tracker.last_box is None
                     or tracker.since_refresh >= refresh):
                 # keyframe: full-frame detection of this single frame
-                kb = self._detect_fullframe_one(frame)
+                pk, tracker.pending_keyframe = tracker.pending_keyframe, None
+                if pk is not None and i == 0:
+                    kb = self._fetch_fullframe_one(*pk)  # pre-dispatched
+                else:
+                    kb = self._detect_fullframe_one(frame)
                 if kb is None:
                     out[i] = None
                     tracker.last_box = None
@@ -458,68 +596,10 @@ class FaceDetectionPipeline:
                 tracker.since_refresh = 0
                 i += 1
                 continue
-            # speculative span: ONE window (from the last fetched box)
-            # covers every frame to the next keyframe; sub-chunks dispatch
-            # back-to-back WITHOUT waiting on each other and fetch in a
-            # second phase, so the whole span costs ~one round trip of
-            # latency instead of one per chunk — on a high-RTT device link
-            # the round trip, not the compute, is the detection budget.
-            # Staleness is safe: the window is 2.2x the face and a face
-            # that outruns it within a span lands in the per-frame
-            # full-frame fallback below.
-            j = min(n, i + (refresh - tracker.since_refresh))
-            x0, y0, side = self._roi_window(tracker.last_box, h, w)
-            scale = side / float(roi_out)
-            pending = []  # (k0, k1, un-fetched device outs)
-            for k0 in range(i, j, roi_batch):
-                k1 = min(j, k0 + roi_batch)
-                if side == roi_out:  # snapped to identity: crop is the input
-                    crops = np.stack([
-                        np.asarray(frames_bgr[k])[y0 : y0 + side,
-                                                  x0 : x0 + side]
-                        for k in range(k0, k1)
-                    ])
-                else:
-                    crops = np.stack([
-                        cv2.resize(
-                            np.asarray(frames_bgr[k])[y0 : y0 + side,
-                                                      x0 : x0 + side],
-                            (roi_out, roi_out),
-                            interpolation=cv2.INTER_AREA,
-                        )
-                        for k in range(k0, k1)
-                    ])
-                pending.append(
-                    (k0, k1, self._dispatch_crops(crops))
-                )
-            for k0, k1, handles in pending:
-                roi_boxes = self._fetch_crop_boxes(handles, k1 - k0)
-                for k, rb in zip(range(k0, k1), roi_boxes):
-                    if rb is not None and self._box_clips_roi(
-                            rb, x0, y0, side, h, w):
-                        # detection clamped at a stale window's interior
-                        # edge: the face moved partly out — the clipped box
-                        # under-covers it, so re-detect this frame
-                        # full-frame (and re-anchor the track)
-                        rb = None
-                    if rb is None:
-                        # lost in ROI — full-frame fallback for this frame
-                        fb = self._detect_fullframe_one(
-                            np.asarray(frames_bgr[k]))
-                        if fb is None:
-                            out[k] = None
-                            tracker.last_box = None
-                            tracker.since_refresh = 0
-                            continue
-                        rb_full = np.clip(fb, 0, None)
-                    else:
-                        rb_full = np.clip(
-                            np.asarray(rb) * scale
-                            + np.asarray([x0, y0, x0, y0], np.float64),
-                            0, None,
-                        )
-                    out[k] = tuple(int(v) for v in rb_full)
-                    tracker.last_box = tuple(float(v) for v in rb_full)
-                    tracker.since_refresh += 1
-            i = j
+            pending = self.begin_tracked(frames_bgr[i:n], tracker)
+            take = pending["taken"]
+            out[i : i + take] = self.finish_tracked(
+                frames_bgr[i : i + take], pending, tracker
+            )
+            i += take
         return out

@@ -488,49 +488,10 @@ class _AsyncBoxes:
 
     def _run(self) -> None:
         try:
-            s = 0
-            while s < self.n:
-                # first chunk small: boxes for the opening frames publish
-                # after ~16 decodes instead of a full chunk, so prep/
-                # generation start while the clip is still decoding; later
-                # chunks grow to the configured size (and beyond, to
-                # whatever is already decoded — see below)
-                hi = min(self.n, s + (16 if s == 0 else self.chunk))
-                if self.wait_upto is not None:
-                    # frames s..hi-1 decoded; a short_ok decoder may report
-                    # fewer — the stream ended and the consumer will cycle
-                    # over the frames that exist (inference.py:121), so
-                    # detection shrinks to match
-                    avail = self.wait_upto(hi)
-                    if avail < hi:
-                        hi = self.n = avail
-                        if hi <= s:
-                            break
-                    else:
-                        # take every frame already decoded: one tracked
-                        # detection call per chunk costs ~one link round
-                        # trip regardless of size, so bigger chunks (when
-                        # the decoder is ahead) mean fewer round trips
-                        hi = min(self.n, max(hi, avail))
-                with self.pipe.timings("detect"):
-                    got = self.pipe._raw_padded_boxes(
-                        self.frames[s:hi],
-                        tracker=self.tracker,
-                    )
-                self.raw.extend(got)
-                if self.nosmooth:
-                    self._publish(np.asarray(self.raw), len(self.raw))
-                else:
-                    arr = np.asarray(self.raw)
-                    safe = max(0, len(arr) - (self.T - 1))
-                    if safe > self.ready and len(arr) < self.n:
-                        # all-raw windows only; mean == reference smoothing
-                        win = np.stack([
-                            arr[i : i + self.T].mean(axis=0)
-                            for i in range(self.ready, safe)
-                        ])
-                        self._publish_window(win, safe)
-                s = hi
+            if self.tracker is not None:
+                self._run_tracked()
+            else:
+                self._run_serial()
             if not self.nosmooth:
                 full = smooth_boxes(np.asarray(self.raw), T=self.T)
                 self._publish(full, self.n)
@@ -538,6 +499,107 @@ class _AsyncBoxes:
             with self.cond:
                 self.error = e
                 self.cond.notify_all()
+
+    def _plan_chunk(self, s: int) -> int:
+        """Next chunk end for a chunk starting at ``s`` (blocking on the
+        decoder): first chunk small — boxes for the opening frames publish
+        after ~16 decodes instead of a full chunk, so prep/generation start
+        while the clip is still decoding; later chunks grow to the
+        configured size and beyond, to whatever is already decoded (one
+        detection call per chunk costs ~one link round trip regardless of
+        size, so bigger chunks mean fewer round trips). A short_ok decoder
+        may report fewer frames than asked — the stream ended and the
+        consumer will cycle over the frames that exist (inference.py:121),
+        so ``self.n`` (and detection) shrinks to match."""
+        hi = min(self.n, s + (16 if s == 0 else self.chunk))
+        if self.wait_upto is not None:
+            avail = self.wait_upto(hi)
+            if avail < hi:
+                hi = self.n = avail
+            else:
+                hi = min(self.n, max(hi, avail))
+        return hi
+
+    def _after_chunk(self, got) -> None:
+        """Publish a chunk's padded raw boxes (smoothed prefix rules in the
+        class docstring)."""
+        self.raw.extend(got)
+        if self.nosmooth:
+            self._publish(np.asarray(self.raw), len(self.raw))
+        else:
+            arr = np.asarray(self.raw)
+            safe = max(0, len(arr) - (self.T - 1))
+            if safe > self.ready and len(arr) < self.n:
+                # all-raw windows only; mean == reference smoothing
+                win = np.stack([
+                    arr[i : i + self.T].mean(axis=0)
+                    for i in range(self.ready, safe)
+                ])
+                self._publish_window(win, safe)
+
+    def _run_serial(self) -> None:
+        s = 0
+        while s < self.n:
+            hi = self._plan_chunk(s)
+            if hi <= s:
+                break
+            with self.pipe.timings("detect"):
+                got = self.pipe._raw_padded_boxes(self.frames[s:hi])
+            self._after_chunk(got)
+            s = hi
+
+    def _run_tracked(self) -> None:
+        """ROI-tracked detection with one-chunk dispatch-ahead: chunk c+1's
+        crops ship to the device while chunk c's results are still in
+        flight, so consecutive chunks cost ~one link round trip total
+        instead of one each, and the cold-tracker keyframe is
+        pre-dispatched the moment frame 0 decodes — its round trip hides
+        under the decode of the first chunk. Publishing stays in frame
+        order (pendings resolve in dispatch order)."""
+        det = self.pipe.detector
+        tracker = self.tracker
+        if self.n > 0 and (self.wait_upto is None or self.wait_upto(1) >= 1):
+            with self.pipe.timings("detect"):
+                det.begin_keyframe(self.frames[0], tracker)
+        s = 0
+        pending = None  # (s0, s1, begin_tracked dict)
+        while s < self.n or pending is not None:
+            hi = s
+            if s < self.n:
+                if pending is None:
+                    hi = self._plan_chunk(s)
+                else:
+                    # a fetch is outstanding: dispatch ahead only over
+                    # frames ALREADY decoded (wait_upto(0) probes without
+                    # blocking) — waiting on the decoder here would delay
+                    # publishing results that may already be back
+                    hi = (self.n if self.wait_upto is None
+                          else min(self.n, max(s, self.wait_upto(0))))
+            dispatched = None
+            if hi > s:
+                with self.pipe.timings("detect"):
+                    pend = det.begin_tracked(self.frames[s:hi], tracker)
+                if pend is not None:
+                    dispatched = (s, s + pend["taken"], pend)
+                    s += pend["taken"]
+            if pending is not None:
+                s0, s1, pend0 = pending
+                with self.pipe.timings("detect"):
+                    raw = det.finish_tracked(self.frames[s0:s1], pend0,
+                                             tracker)
+                    got = self.pipe._pad_boxes(raw, self.frames[s0:s1])
+                self._after_chunk(got)
+                pending = dispatched
+                continue
+            pending = dispatched
+            if dispatched is None and hi > s:
+                # cold tracker or refresh boundary: synchronous tracked
+                # call (keyframe + span in one)
+                with self.pipe.timings("detect"):
+                    got = self.pipe._raw_padded_boxes(self.frames[s:hi],
+                                                      tracker=tracker)
+                self._after_chunk(got)
+                s = hi
 
     def _publish_window(self, win: np.ndarray, upto: int) -> None:
         with self.cond:
@@ -685,8 +747,13 @@ class LipSyncPipeline:
         and stacking a whole 64-frame 720p chunk here would cost an extra
         ~180 MB host copy per chunk on the tracked path, which touches only
         small ROIs of a few frames."""
-        icfg = self.cfg.infer
         raw = self.detector.first_face_boxes(frames, tracker=tracker)
+        return self._pad_boxes(raw, frames)
+
+    def _pad_boxes(self, raw, frames: Sequence[np.ndarray]) -> np.ndarray:
+        """Pads + face-not-found handling over raw detector boxes
+        (reference inference.py:88-99)."""
+        icfg = self.cfg.infer
         pady1, pady2, padx1, padx2 = icfg.pads
         results = []
         for rect, image in zip(raw, frames):
