@@ -30,6 +30,24 @@ class TestBCE:
         assert np.isfinite(float(bce(p, t)))
         assert float(bce(p, t)) == pytest.approx(100.0, rel=1e-3)
 
+    def test_gradient_matches_torch_backward(self):
+        """ATen clamps the backward denominator at 1e-12 (grad bounded at
+        ~1e12); the naive autodiff grad 1/pred overflows float32 to inf for
+        tiny predictions — one ReLU-collapsed embedding (cosine ~0 on a
+        positive pair) then poisons Adam's moments and the whole run goes
+        NaN (observed in the round-5 expert calibration at step ~550)."""
+        import jax
+
+        torch = pytest.importorskip("torch")
+        p = np.asarray([[0.0], [3e-40], [1e-12], [0.3], [1.0]], np.float32)
+        t = np.ones_like(p)
+        got = jax.grad(lambda q: bce(q, jnp.asarray(t)))(jnp.asarray(p))
+        got = np.asarray(got)
+        assert np.isfinite(got).all(), got
+        tp = torch.from_numpy(p).requires_grad_(True)
+        torch.nn.BCELoss()(tp, torch.from_numpy(t)).backward()
+        np.testing.assert_allclose(got, tp.grad.numpy(), rtol=1e-4)
+
 
 class TestCosineBCE:
     def test_matches_torch_composition(self):
