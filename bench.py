@@ -572,10 +572,11 @@ def _train_bench(steps=8, batch=16, compute_dtype=None, use_mesh=False):
                   else jax.device_put(host_batch))
     wt, dwt = np.float32(0.03), np.float32(0.07)
 
-    # warmup/compile
+    # warmup/compile; the value fetch (not block_until_ready) guarantees
+    # the warmup really finished before the timed window opens
     gs, ds, m = train_step(gen_state, disc_state, sync_vars, batch_data,
                            wt, dwt, use_sync=True)
-    jax.block_until_ready(m)
+    _ = float(m["gen_loss"])
     # record the exact per-step FLOPs for the MFU leg (cache-hit lowers of
     # the two programs just compiled); mesh runs must not overwrite the
     # per-chip number. Lowering needs live (un-donated) states — gs/ds —
@@ -595,7 +596,11 @@ def _train_bench(steps=8, batch=16, compute_dtype=None, use_mesh=False):
     for _ in range(steps):
         gs, ds, m = train_step(gs, ds, sync_vars, batch_data, wt, dwt,
                                use_sync=True)
-    jax.block_until_ready(m)
+    # end the window with a VALUE fetch: on the tunneled device
+    # block_until_ready can return optimistically (measured round 5: a
+    # 30-step window "completed" in 0.2s, 12x the physical peak), while a
+    # scalar fetch forces the whole chained window to really finish
+    _ = float(m["gen_loss"])
     return round(steps / (_t.time() - t0), 3)
 
 
@@ -666,7 +671,7 @@ def _train_e2e_bench(tmp, steps=8, batch=16):
         # batch fetch (input pipeline + any unhidden upload) -> step
         gs, ds, m = train_step(gen_state, disc_state, sync_vars,
                                next(feed), wt, dwt, use_sync=True)
-        jax.block_until_ready(m)
+        _ = float(m["gen_loss"])  # real completion, see _train_bench
         wait_s = 0.0
         t0 = _t.time()
         for _ in range(steps):
@@ -675,7 +680,8 @@ def _train_e2e_bench(tmp, steps=8, batch=16):
             wait_s += _t.time() - tw
             gs, ds, m = train_step(gs, ds, sync_vars, dev_batch, wt, dwt,
                                    use_sync=True)
-        jax.block_until_ready(m)
+        # value fetch, not block_until_ready: see _train_bench
+        _ = float(m["gen_loss"])
         dt = _t.time() - t0
     finally:
         feed.close()
@@ -706,7 +712,8 @@ def _mel_bench(seconds=10.0, repeats=10):
     t0 = _t.time()
     for _ in range(repeats):
         out = fused(wav)
-    jax.block_until_ready(out)
+    # value fetch, not block_until_ready: see _train_bench
+    _ = float(np.asarray(out).ravel()[0])
     dt = (_t.time() - t0) / repeats
     return round(out.shape[1] / dt, 1)
 
